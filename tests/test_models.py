@@ -1,0 +1,142 @@
+"""Model zoo shape / semantics tests.
+
+The reference has no tests; shape expectations here are derived from the
+documented torch architectures (see docstrings in each model module).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_distillation_tpu.models import (ConvNet3D, Hallucinator,
+                                           create_model, get_eval_pool,
+                                           init_model, is_video_model,
+                                           sample_input)
+
+
+def _run(model_name, channel=3, num_classes=10, im_size=(32, 32), frames=8,
+         batch=2):
+    model = create_model(model_name, channel, num_classes, im_size, frames)
+    x = sample_input(model_name, channel, im_size, frames, batch)
+    params, extra = init_model(model, jax.random.PRNGKey(0), x)
+    out = model.apply({"params": params, **extra}, x, train=False)
+    return model, params, out
+
+
+@pytest.mark.parametrize("name", [
+    "MLP", "ConvNet", "LeNet", "AlexNet", "AlexNetBN", "VGG11", "VGG11BN",
+    "ResNet18", "ResNet18BN", "ResNet18BN_AP",
+    "ConvNetD1", "ConvNetD2", "ConvNetD4", "ConvNetW32", "ConvNetW256",
+    "ConvNetAS", "ConvNetAL", "ConvNetASwish", "ConvNetASwishBN",
+    "ConvNetNN", "ConvNetBN", "ConvNetLN", "ConvNetIN", "ConvNetGN",
+    "ConvNetNP", "ConvNetMP", "ConvNetAP",
+])
+def test_image_models_logits_shape(name):
+    _, _, out = _run(name)
+    assert out.shape == (2, 10)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("name", [
+    "VideoConvNetMean", "VideoConvNetMLP", "VideoConvNetLSTM",
+    "VideoConvNetRNN", "VideoConvNetGRU", "ConvNet3D",
+])
+def test_video_models_logits_shape(name):
+    # ConvNet3D needs >= 64px (three stride-2 convs + pools; same as torch)
+    size = (64, 64) if name == "ConvNet3D" else (32, 32)
+    _, _, out = _run(name, im_size=size, frames=8)
+    assert out.shape == (2, 10)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_convnet3d_112_shapes():
+    """112x112x16 videos — the miniUCF101/HMDB51 flagship configuration."""
+    model = ConvNet3D(channel=3, num_classes=50, frames=16, im_size=(112, 112))
+    x = jnp.zeros((2, 16, 112, 112, 3))
+    params, _ = init_model(model, jax.random.PRNGKey(0), x)
+    logits = model.apply({"params": params}, x, train=False)
+    assert logits.shape == (2, 50)
+    feat = model.apply({"params": params}, x, train=False, output="feat")
+    # backbone features: T=4, H=W=2, C=128 (see convnet3d.py docstring)
+    assert feat.shape == (2, 4 * 2 * 2 * 128)
+
+
+def test_convnet3d_64_shapes():
+    """64x64x8 — the K400/SSv2 configuration (head window (2,1,1))."""
+    model = ConvNet3D(channel=3, num_classes=400, frames=8, im_size=(64, 64))
+    x = jnp.zeros((2, 8, 64, 64, 3))
+    params, _ = init_model(model, jax.random.PRNGKey(0), x)
+    logits = model.apply({"params": params}, x, train=False)
+    assert logits.shape == (2, 400)
+
+
+def test_convnet3d_param_count_112():
+    """Parameter count must match the torch reference architecture.
+
+    conv1: 3*64*3*7*7+64; conv2: 64*128*3*7*7+128; conv3: 128*128*3*7*7+128;
+    logit: 128*C*1+C.
+    """
+    model = ConvNet3D(channel=3, num_classes=50, frames=16, im_size=(112, 112))
+    x = jnp.zeros((1, 16, 112, 112, 3))
+    params, _ = init_model(model, jax.random.PRNGKey(0), x)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    expected = (3 * 64 * 3 * 7 * 7 + 64) + (64 * 128 * 3 * 7 * 7 + 128) + \
+               (128 * 128 * 3 * 7 * 7 + 128) + (128 * 50 + 50)
+    assert n == expected
+
+
+def test_convnet3d_dropout_stochastic_in_train():
+    model = ConvNet3D(channel=3, num_classes=10, frames=8, im_size=(64, 64))
+    x = jnp.ones((2, 8, 64, 64, 3))
+    params, _ = init_model(model, jax.random.PRNGKey(0), x)
+    a = model.apply({"params": params}, x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    b = model.apply({"params": params}, x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    c = model.apply({"params": params}, x, train=False)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    assert np.all(np.isfinite(np.asarray(c)))
+
+
+def test_torch_init_distribution():
+    """Conv weights must follow U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    model = ConvNet3D(channel=3, num_classes=10, frames=8, im_size=(64, 64))
+    x = jnp.zeros((1, 8, 64, 64, 3))
+    params, _ = init_model(model, jax.random.PRNGKey(3), x)
+    # locate first conv kernel: shape (3,7,7,3,64) -> fan_in = 3*7*7*3
+    kernels = [np.asarray(v) for v in jax.tree.leaves(params)
+               if v.ndim == 5 and v.shape[-2] == 3]
+    k = kernels[0]
+    bound = 1.0 / np.sqrt(3 * 3 * 7 * 7)
+    assert np.abs(k).max() <= bound + 1e-6
+    assert np.abs(k).max() > 0.8 * bound  # actually fills the range
+
+
+def test_embed_both_consistency():
+    model, params, _ = _run("ConvNet")
+    x = jnp.ones((2, 32, 32, 3))
+    logits, feat = model.apply({"params": params}, x, train=False,
+                               output="both")
+    feat2 = model.apply({"params": params}, x, train=False, output="feat")
+    assert np.allclose(np.asarray(feat), np.asarray(feat2))
+    assert logits.shape == (2, 10)
+
+
+def test_hallucinator_shapes():
+    hal = Hallucinator()
+    static = jnp.ones((4, 16, 16, 3))
+    dynamic = jnp.ones((4, 8, 16, 16, 1))
+    params, _ = init_model(hal, jax.random.PRNGKey(0), None) if False else (
+        hal.init(jax.random.PRNGKey(0), static, dynamic)["params"], None)
+    video = hal.apply({"params": params}, static, dynamic)
+    assert video.shape == (4, 8, 16, 16, 3)
+
+
+def test_eval_pool_modes():
+    assert get_eval_pool("S", "ConvNet3D") == ["ConvNet3D"]
+    assert get_eval_pool("S", "ConvNetBN") == ["ConvNet"]
+    assert get_eval_pool("SS", "ConvNetBN") == ["ConvNetBN"]
+    assert len(get_eval_pool("M", "ConvNet")) == 6
+    assert get_eval_pool("top5", "ConvNet3D") == ["ConvNet3D"]
+    assert is_video_model("ConvNet3D") and not is_video_model("ConvNet")

@@ -1,0 +1,209 @@
+"""Offline packer: reference frame-dir layouts -> packed uint8 stores.
+
+One-time converters from the exact on-disk layouts the reference consumes
+(``/root/reference/distill_utils/dataset.py``) into the packed format of
+``store.py``:
+
+* UCF101 / miniUCF101 / HMDB51: ``<root>/jpegs_112/<folder>/frame%06d.jpg``
+  with CSV split files (header folder_name,label,split; dataset.py:365,
+  :158, :253). miniUCF101 uses ``ucf50_splits1.csv`` (50-class subset).
+* Kinetics400: ``<root>/{train,val}/<yid_start_end>/`` frame dirs from the
+  extractor, with ``replacement/`` fallback and skip-on-missing
+  (dataset.py:96-128).
+* SSv2: ``annot_{split}.json`` lists of {id, label} over frame dirs
+  (dataset.py:841-895).
+
+Train splits are packed as fixed clips (one temporal start drawn at pack
+time — the reference caches the start per index anyway, dataset.py:432-435);
+test splits keep all frames (ragged) so each evaluation pass can draw fresh
+temporal crops.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import os.path as osp
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .meta import FRAME_GAP, DatasetMeta, get_meta
+from .store import (ClipStore, RaggedFrameStore, VideoData, clip_indices,
+                    sample_start, save_packed)
+
+try:  # PIL ships with torchvision in this image
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+# ---------------------------------------------------------------------------
+# layout readers: -> list of (frame_paths, label)
+# ---------------------------------------------------------------------------
+
+def _listdir_frames(d: str) -> List[str]:
+    return [osp.join(d, f) for f in sorted(os.listdir(d))]
+
+
+def read_ucf_csv(root: str, csv_name: str, split: str):
+    """UCF/HMDB CSV layout (dataset.py:353-393). Frame files are
+    frame%06d.jpg, 1-indexed."""
+    data_path = osp.join(root, "jpegs_112")
+    videos, label_strs = [], []
+    with open(osp.join(root, csv_name)) as fp:
+        for item in csv.DictReader(fp):
+            if item["split"] != split:
+                continue
+            videos.append(osp.join(data_path, item["folder_name"]))
+            label_strs.append(item["label"])
+    classes = sorted(set(label_strs))
+    class_2_idx = {x: i for i, x in enumerate(classes)}
+    labels = [class_2_idx[s] for s in label_strs]
+    return videos, labels, classes
+
+
+def read_kinetics_csv(root: str, split: str, num_frames: int):
+    """K400 CSV with replacement-dir fallback (dataset.py:96-128)."""
+    csv_split = "validate" if split == "val" else split
+    videos, label_strs, skipped = [], [], 0
+    with open(osp.join(root, f"{csv_split}.csv")) as fp:
+        for item in csv.DictReader(fp):
+            name = "%s_%06d_%06d" % (item["youtube_id"],
+                                     int(item["time_start"]),
+                                     int(item["time_end"]))
+            d = osp.join(root, split, name)
+            if not osp.exists(d) or len(os.listdir(d)) != num_frames:
+                d = osp.join(root, "replacement", name)
+            if not osp.exists(d) or len(os.listdir(d)) != num_frames:
+                skipped += 1
+                continue
+            videos.append(d)
+            label_strs.append(item["label"])
+    classes = sorted(set(label_strs))
+    class_2_idx = {x: i for i, x in enumerate(classes)}
+    labels = [class_2_idx[s] for s in label_strs]
+    return videos, labels, classes
+
+
+def read_ssv2_json(root: str, split: str):
+    """SSv2 annot_{split}.json + class_list.json (dataset.py:841-895)."""
+    with open(osp.join(root, "class_list.json")) as f:
+        classes = json.load(f)
+    class_2_idx = {x: i for i, x in enumerate(classes)}
+    with open(osp.join(root, f"annot_{split}.json")) as f:
+        annots = json.load(f)
+    videos, labels = [], []
+    for a in annots:
+        d = osp.join(root, split, str(a["id"]))
+        if not osp.isdir(d):
+            continue
+        videos.append(d)
+        labels.append(class_2_idx[a["label"]])
+    return videos, labels, classes
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+def _load_frame(path: str, im_size) -> np.ndarray:
+    img = Image.open(path).convert("RGB")
+    if img.size != (im_size[1], im_size[0]):
+        img = img.resize((im_size[1], im_size[0]), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
+def _frame_path(video_dir: str, i0: int, naming: str) -> str:
+    if naming == "ucf":  # frame%06d.jpg, 1-indexed
+        return osp.join(video_dir, "frame%06d.jpg" % (i0 + 1))
+    # generic: sorted listing
+    raise ValueError(naming)
+
+
+def pack_train_clips(videos: Sequence[str], labels: Sequence[int],
+                     meta: DatasetMeta, rng: np.random.Generator,
+                     naming: str = "ucf") -> ClipStore:
+    F = meta.frames
+    clips = np.empty((len(videos), F) + meta.im_size + (3,), np.uint8)
+    for vi, d in enumerate(videos):
+        files = sorted(os.listdir(d))
+        length = len(files)
+        start, skip = sample_start(rng, length, F)
+        idx = np.clip(clip_indices(start, skip, F), 0, length - 1)
+        for fi, i0 in enumerate(idx):
+            if naming == "ucf":
+                p = _frame_path(d, int(i0), naming)
+            else:
+                p = osp.join(d, files[int(i0)])
+            clips[vi, fi] = _load_frame(p, meta.im_size)
+    return ClipStore(clips, np.asarray(labels, np.int32), meta)
+
+
+def pack_test_frames(videos: Sequence[str], labels: Sequence[int],
+                     meta: DatasetMeta, max_frames: int = 300,
+                     naming: str = "ucf") -> RaggedFrameStore:
+    lengths = []
+    all_frames = []
+    for d in videos:
+        files = sorted(os.listdir(d))[:max_frames]
+        lengths.append(len(files))
+        for fi, f in enumerate(files):
+            if naming == "ucf":
+                p = _frame_path(d, fi, naming)
+            else:
+                p = osp.join(d, f)
+            all_frames.append(_load_frame(p, meta.im_size))
+    offsets = np.zeros(len(videos) + 1, np.int64)
+    offsets[1:] = np.cumsum(lengths)
+    frames = (np.stack(all_frames) if all_frames else
+              np.empty((0,) + meta.im_size + (3,), np.uint8))
+    return RaggedFrameStore(frames, offsets, np.asarray(labels, np.int32),
+                            meta)
+
+
+def pack_dataset(dataset: str, data_path: str, out_root: str,
+                 seed: int = 0) -> str:
+    """Pack a reference-layout dataset; returns the packed dir path."""
+    meta = get_meta(dataset)
+    rng = np.random.default_rng(seed)
+
+    if dataset in ("UCF101", "miniUCF101", "staticUCF50", "staticUCF101"):
+        root = osp.join(data_path, "UCF101")
+        csv_name = ("ucf50_splits1.csv"
+                    if dataset in ("miniUCF101", "staticUCF50")
+                    else "ucf101_splits1.csv")
+        naming = "ucf"
+        tr = read_ucf_csv(root, csv_name, "train")
+        te = read_ucf_csv(root, csv_name, "test")
+    elif dataset in ("HMDB51", "staticHMDB51"):
+        root = osp.join(data_path, "HMDB51")
+        naming = "ucf"
+        tr = read_ucf_csv(root, "hmdb51_splits.csv", "train")
+        te = read_ucf_csv(root, "hmdb51_splits.csv", "test")
+    elif dataset in ("Kinetics400", "staticKinetics400"):
+        root = osp.join(data_path, "Kinetics")
+        naming = "listing"
+        tr = read_kinetics_csv(root, "train", meta.frames)
+        te = read_kinetics_csv(root, "val", meta.frames)
+    elif dataset in ("SSv2", "staticSSv2"):
+        root = osp.join(data_path, "SSv2")
+        naming = "listing"
+        tr = read_ssv2_json(root, "train")
+        te = read_ssv2_json(root, "val")
+    else:
+        raise ValueError(f"pack_dataset: unsupported dataset {dataset}")
+
+    train = pack_train_clips(tr[0], tr[1], meta, rng, naming=naming)
+    test = pack_test_frames(te[0], te[1], meta, naming=naming)
+    if dataset.startswith("static"):
+        # boring videos: one random frame repeated F times
+        # (dataset.py:570-839)
+        pick = rng.integers(0, meta.frames, size=len(train))
+        train.clips = np.repeat(
+            train.clips[np.arange(len(train)), pick][:, None],
+            meta.frames, axis=1)
+    out = osp.join(out_root, f"{dataset}_packed")
+    save_packed(out, VideoData(meta=meta, train=train, test=test))
+    return out

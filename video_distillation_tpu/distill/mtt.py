@@ -1,0 +1,280 @@
+"""MTT — Matching Training Trajectories, as a remat'd ``lax.scan`` unroll.
+
+Parity with the reference MTT branches
+(``/root/reference/distill_baseline.py:117-290``,
+``distill_s2d_ms.py:113-310``): sample an expert trajectory segment
+(θ_start = traj[e], θ_target = traj[e + expert_epochs]); run ``syn_steps``
+SGD steps on the synthetic data from θ_start with learnable scalar lr
+(``syn_lr``); minimise ‖θ_K − θ*‖²/‖θ_0 − θ*‖² through the whole unroll
+into the synthetic parameters; synthetic optimizers are SGD(momentum 0.5)
+(raw, distill_baseline.py:107-108) / SGD(momentum 0.95) for S2D memories and
+0.9 for the lr (distill_s2d_ms.py:105-108); ``syn_lr`` is clipped at 0.001
+after each update (distill_baseline.py:283).
+
+The torch version holds the whole ``create_graph=True`` autograd graph in
+memory; here ``jax.checkpoint`` on the inner step rematerialises inner
+forwards during the outer backward — the TPU-native replacement
+(SURVEY.md §7 "hard parts").
+
+Batch plan semantics: the reference pops permutation chunks from the END of
+a per-iteration chunk list (``distill_baseline.py:231-241``,
+``list.pop()``), refilling when empty; ragged remainder chunks are padded
+here with -1 and masked in the CE mean.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+
+from ..models.registry import create_model
+from .s2d import S2DConfig, hallucinate
+
+
+def make_batch_plan(rng: np.random.Generator, n: int, batch_syn: int,
+                    syn_steps: int, leftover: Optional[list] = None):
+    """(syn_steps, batch_syn) int32 plan with -1 padding, reproducing the
+    reference's pop-from-end chunking. ``leftover`` (mutated) carries
+    unconsumed chunks across outer iterations within one buffer epoch —
+    the reference resets it each iteration, so callers pass None."""
+    chunks = list(leftover) if leftover else []
+    plan = np.full((syn_steps, batch_syn), -1, np.int32)
+    for s in range(syn_steps):
+        if not chunks:
+            perm = rng.permutation(n)
+            chunks = [perm[i:i + batch_syn]
+                      for i in range(0, n, batch_syn)]
+        chunk = chunks.pop()
+        plan[s, :len(chunk)] = chunk
+    return plan
+
+
+def flat_param_template(model_name: str, channel: int, num_classes: int,
+                        im_size, frames: int, seed: int = 0):
+    """(template_params, flat (P,), unravel_fn) — the JAX-native
+    ReparamModule (reparam_module.py): params are a pytree, the flat view is
+    free via ravel_pytree."""
+    model_def = create_model(model_name, channel, num_classes,
+                             tuple(im_size), frames)
+    k = jax.random.PRNGKey(seed)
+    sample = jnp.zeros((1, frames, im_size[0], im_size[1], channel))
+    params = model_def.init({"params": k, "dropout": k}, sample,
+                            train=False)["params"]
+    flat, unravel = ravel_pytree(params)
+    return model_def, params, flat, unravel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_mtt_core(model_name: str, channel: int, num_classes: int,
+                    im_size: Tuple[int, int], frames: int, syn_steps: int,
+                    compute_dtype: str):
+    """The inner unroll: (syn_videos_fn-composed batches, θ_start, syn_lr)
+    -> grand loss. Shared by the raw and S2D outer steps."""
+    model_def, _, _, unravel = flat_param_template(
+        model_name, channel, num_classes, im_size, frames)
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    def unroll(theta_start, theta_target, syn_lr, batches_x, batches_y,
+               batches_w, drop_key):
+        """batches_x: (S, B, F, H, W, C) float32 (already in normalised
+        space); returns grand_loss, plus (param_loss, param_dist)."""
+
+        @jax.checkpoint
+        def inner(theta, inp):
+            x, y, w, step_i = inp
+
+            def ce(th):
+                logits = model_def.apply(
+                    {"params": unravel(th)}, x.astype(cdt), train=True,
+                    rngs={"dropout": jax.random.fold_in(drop_key, step_i)})
+                logits = logits.astype(jnp.float32)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                pick = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+                return jnp.sum(pick * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+            grad = jax.grad(ce)(theta)
+            return theta - syn_lr * grad, None
+
+        steps = jnp.arange(syn_steps)
+        theta_final, _ = jax.lax.scan(
+            inner, theta_start, (batches_x, batches_y, batches_w, steps))
+        param_loss = jnp.sum((theta_final - theta_target) ** 2)
+        param_dist = jnp.sum((theta_start - theta_target) ** 2)
+        return param_loss / param_dist, (param_loss, param_dist)
+
+    return unroll
+
+
+@functools.lru_cache(maxsize=16)
+def _build_mtt_step(model_name: str, channel: int, num_classes: int,
+                    im_size: Tuple[int, int], frames: int, syn_steps: int,
+                    lr_img: float, lr_lr: float, train_lr: bool,
+                    compute_dtype: str):
+    unroll = _build_mtt_core(model_name, channel, num_classes, im_size,
+                             frames, syn_steps, compute_dtype)
+
+    def step(key, syn_images, syn_labels, syn_lr, mom_img, mom_lr,
+             theta_start, theta_target, plan):
+        w = (plan >= 0).astype(jnp.float32)
+        safe = jnp.maximum(plan, 0)
+        batches_y = syn_labels[safe]
+
+        def loss_fn(syn, lr_scalar):
+            batches_x = syn[safe]  # (S, B, F, H, W, C)
+            loss, aux = unroll(theta_start, theta_target, lr_scalar,
+                               batches_x, batches_y, w, key)
+            return loss, aux
+
+        (loss, (ploss, pdist)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(syn_images, syn_lr)
+        g_img, g_lr = grads
+        mom_img = 0.5 * mom_img + g_img
+        syn_images = syn_images - lr_img * mom_img
+        if train_lr:
+            mom_lr = 0.5 * mom_lr + g_lr
+            syn_lr = jnp.maximum(syn_lr - lr_lr * mom_lr, 0.001)
+        return syn_images, syn_lr, mom_img, mom_lr, loss, ploss, pdist
+
+    return jax.jit(step, donate_argnums=(1, 3, 4, 5))
+
+
+@functools.lru_cache(maxsize=16)
+def _build_s2d_mtt_step(model_name: str, channel: int, num_classes: int,
+                        im_size: Tuple[int, int], frames: int,
+                        syn_steps: int, s2d_items: tuple, lr_static: float,
+                        lr_dynamic: float, lr_hal: float, lr_lr: float,
+                        train_static: bool, train_lr: bool,
+                        compute_dtype: str):
+    unroll = _build_mtt_core(model_name, channel, num_classes, im_size,
+                             frames, syn_steps, compute_dtype)
+    s2d_cfg = S2DConfig(**dict(s2d_items))
+
+    def step(key, s2d_state, syn_lr, moms, mom_lr, theta_start,
+             theta_target, plan):
+        k_slots, k_drop = jax.random.split(key)
+        w = (plan >= 0).astype(jnp.float32)
+        safe = jnp.maximum(plan, 0)
+
+        # slot draws per inner step (distill_s2d_ms.py:240-247)
+        def draw(i, idx_row):
+            kk = jax.random.fold_in(k_slots, i)
+            k1, k2 = jax.random.split(kk)
+            label = idx_row // s2d_cfg.vpc
+            sub = idx_row % s2d_cfg.vpc
+            d_idx = 2 * sub + jax.random.randint(k1, idx_row.shape, 0, 2)
+            s_idx = s2d_cfg.spc * label + 2 * sub + \
+                jax.random.randint(k2, idx_row.shape, 0, 2)
+            return label, s_idx, d_idx
+
+        labels, s_idxs, d_idxs = jax.vmap(draw)(jnp.arange(syn_steps), safe)
+
+        def loss_fn(state, lr_scalar):
+            static = state["static"][s_idxs.reshape(-1)]
+            dynamic = state["dynamic"][labels.reshape(-1),
+                                       d_idxs.reshape(-1)]
+            videos = hallucinate(state["hals"][0], static, dynamic,
+                                 s2d_cfg.hal_mode)
+            batches_x = videos.reshape((syn_steps, -1) + videos.shape[1:])
+            loss, aux = unroll(theta_start, theta_target, lr_scalar,
+                               batches_x, labels, w, k_drop)
+            return loss, aux
+
+        (loss, (ploss, pdist)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(s2d_state, syn_lr)
+        g_state, g_lr = grads
+
+        new_state, new_moms = {}, {}
+        for name, lr, train in (("static", lr_static, train_static),
+                                ("dynamic", lr_dynamic, True),
+                                ("hals", lr_hal, True)):
+            if not train:
+                new_state[name] = s2d_state[name]
+                new_moms[name] = moms[name]
+                continue
+            m = jax.tree.map(lambda mm, g: 0.95 * mm + g, moms[name],
+                             g_state[name])
+            new_state[name] = jax.tree.map(lambda p, mm: p - lr * mm,
+                                           s2d_state[name], m)
+            new_moms[name] = m
+        if train_lr:
+            mom_lr = 0.9 * mom_lr + g_lr
+            syn_lr = jnp.maximum(syn_lr - lr_lr * mom_lr, 0.001)
+        return new_state, syn_lr, new_moms, mom_lr, loss, ploss, pdist
+
+    return jax.jit(step, donate_argnums=(1, 2, 3, 4))
+
+
+@dataclasses.dataclass
+class TrajectoryBuffer:
+    """Expert trajectories as stacked flat-param arrays.
+
+    The reference pickles python lists of per-layer tensors
+    (buffer.py:89-104); here each expert is a dense (E+1, P) float32 array —
+    directly sliceable into θ_start/θ_target device arrays.
+    """
+
+    trajectories: np.ndarray  # (num_experts, E+1, P)
+
+    def __len__(self):
+        return self.trajectories.shape[0]
+
+    @property
+    def num_epochs(self):
+        return self.trajectories.shape[1]
+
+    def segment(self, expert: int, start_epoch: int, expert_epochs: int):
+        t = self.trajectories[expert]
+        return t[start_epoch], t[start_epoch + expert_epochs]
+
+    def save(self, path: str):
+        np.savez_compressed(path, trajectories=self.trajectories)
+
+    @staticmethod
+    def load(path: str) -> "TrajectoryBuffer":
+        with np.load(path) as z:
+            return TrajectoryBuffer(z["trajectories"])
+
+
+class ExpertSampler:
+    """Reference expert-iteration order (distill_baseline.py:122-135,
+    :203-211): shuffle the buffer files, walk experts sequentially,
+    reshuffle on wrap; start epoch ~ U[0, max_start_epoch)."""
+
+    def __init__(self, buffers, rng: np.random.Generator):
+        self.buffers = list(buffers)
+        self.rng = rng
+        self.rng.shuffle(self.buffers)
+        self.file_idx = 0
+        self.expert_idx = 0
+        self._order = None
+        self._reshuffle()
+
+    def _reshuffle(self):
+        n = len(self.buffers[self.file_idx])
+        self._order = self.rng.permutation(n)
+
+    def next_trajectory(self):
+        buf = self.buffers[self.file_idx]
+        traj_i = int(self._order[self.expert_idx])
+        self.expert_idx += 1
+        if self.expert_idx == len(buf):
+            self.expert_idx = 0
+            self.file_idx += 1
+            if self.file_idx == len(self.buffers):
+                self.file_idx = 0
+                self.rng.shuffle(self.buffers)
+            self._reshuffle()
+        return buf, traj_i
+
+    def sample_segment(self, max_start_epoch: int, expert_epochs: int):
+        buf, traj_i = self.next_trajectory()
+        start_epoch = int(self.rng.integers(0, max_start_epoch))
+        theta_start, theta_target = buf.segment(traj_i, start_epoch,
+                                                expert_epochs)
+        return theta_start, theta_target, start_epoch

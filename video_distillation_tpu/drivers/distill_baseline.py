@@ -1,0 +1,140 @@
+"""Baseline distillation driver (DM / MTT on raw synthetic tensors).
+
+The TPU rebuild of ``/root/reference/distill_baseline.py``. Usage:
+
+    python -m video_distillation_tpu.drivers.distill_baseline \
+        --preset DM --dataset miniUCF101 --ipc 1 --lr_img 1.0
+
+Supports full-state resume (orbax) — which the torch driver lacks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DistillConfig, get_preset
+from ..distill.buffer import load_buffers
+from ..distill.dm import DMState, init_synthetic_raw, make_dm_trainer
+from ..distill.mtt import ExpertSampler, _build_mtt_step, make_batch_plan
+from ..utils.checkpoint import save_artifact
+from ..utils.logging import MetricLogger, StepTimer
+from .common import EvalTracker, load_data
+
+
+def run_dm(cfg: DistillConfig, data, logger: MetricLogger):
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    syn, labels = init_synthetic_raw(key, data.train, cfg.ipc, cfg.frames,
+                                     cfg.init, rng)
+    state = DMState(syn, labels, jnp.zeros_like(syn))
+    trainer = make_dm_trainer(data.train, cfg.model, cfg.ipc,
+                              cfg.batch_real, cfg.lr_img, cfg.frames,
+                              cfg.compute_dtype)
+    save_dir = os.path.join(cfg.save_path, f"Baseline_DM_{cfg.dataset}")
+
+    def save(it, best):
+        save_artifact(save_dir, f"images_{it}", state.syn_images)
+        if best:
+            save_artifact(save_dir, "images_best", state.syn_images)
+
+    tracker = EvalTracker(cfg, data, logger, save_dir, save)
+    timer = StepTimer()
+    for it in range(cfg.Iteration + 1):
+        tracker.maybe_eval(it, jax.random.fold_in(key, 10_000_000 + it),
+                           state.syn_images, state.labels, cfg.lr_net)
+        state, loss = trainer(jax.random.fold_in(key, it), state, rng)
+        timer.tick()
+        if it % 100 == 0:
+            logger.log({"Loss": loss / data.meta.num_classes,
+                        "steps_per_sec": timer.rate()}, step=it)
+    return state
+
+
+def run_mtt(cfg: DistillConfig, data, logger: MetricLogger):
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    meta = data.meta
+    syn, labels = init_synthetic_raw(key, data.train, cfg.ipc, cfg.frames,
+                                     cfg.init, rng)
+    n_syn = syn.shape[0]
+    batch_syn = cfg.resolved_batch_syn(meta.num_classes)
+
+    buffers = load_buffers(cfg.buffer_path)
+    sampler = ExpertSampler(buffers, rng)
+
+    step_fn = _build_mtt_step(cfg.model, meta.channel, meta.num_classes,
+                              tuple(meta.im_size), cfg.frames,
+                              cfg.syn_steps, cfg.lr_img, cfg.lr_lr,
+                              cfg.train_lr, cfg.compute_dtype)
+    syn_lr = jnp.asarray(float(cfg.lr_teacher))
+    mom_img = jnp.zeros_like(syn)
+    mom_lr = jnp.zeros(())
+    save_dir = os.path.join(cfg.save_path, f"Baseline_MTT_{cfg.dataset}")
+
+    holder = {"syn": syn}
+
+    def save(it, best):
+        save_artifact(save_dir, f"images_{it}", holder["syn"])
+        if best:
+            save_artifact(save_dir, "images_best", holder["syn"])
+
+    tracker = EvalTracker(cfg, data, logger, save_dir, save)
+    timer = StepTimer()
+    for it in range(cfg.Iteration + 1):
+        tracker.maybe_eval(it, jax.random.fold_in(key, 10_000_000 + it),
+                           holder["syn"], labels, float(syn_lr))
+        theta0, theta1, start_epoch = sampler.sample_segment(
+            cfg.max_start_epoch, cfg.expert_epochs)
+        plan = jnp.asarray(make_batch_plan(rng, n_syn, batch_syn,
+                                           cfg.syn_steps))
+        out = step_fn(jax.random.fold_in(key, it), holder["syn"], labels,
+                      syn_lr, mom_img, mom_lr, jnp.asarray(theta0),
+                      jnp.asarray(theta1), plan)
+        holder["syn"], syn_lr, mom_img, mom_lr, loss, ploss, pdist = out
+        timer.tick()
+        if it % 50 == 0:
+            logger.log({"Grand_Loss": float(loss),
+                        "Start_Epoch": start_epoch,
+                        "Synthetic_LR": float(syn_lr),
+                        "steps_per_sec": timer.rate()}, step=it)
+    return holder["syn"], labels, syn_lr
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="DM/MTT baseline distillation")
+    p.add_argument("--preset", type=str, default=None)
+    for f in dataclasses.fields(DistillConfig):
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(f"--{f.name}", type=lambda s: s.lower() == "true",
+                           default=None)
+        elif f.name != "mesh_shape":
+            p.add_argument(f"--{f.name}",
+                           type=type(f.default) if f.default is not None
+                           else str, default=None)
+    args = p.parse_args(argv)
+    cfg = get_preset(args.preset) if args.preset else DistillConfig()
+    for f in dataclasses.fields(DistillConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            setattr(cfg, f.name, v)
+
+    data = load_data(cfg)
+    logger = MetricLogger(log_dir=cfg.save_path,
+                          run_name=f"{cfg.method}_{cfg.dataset}_ipc{cfg.ipc}")
+    if cfg.method == "DM":
+        run_dm(cfg, data, logger)
+    elif cfg.method == "MTT":
+        run_mtt(cfg, data, logger)
+    else:
+        raise NotImplementedError(cfg.method)
+    logger.finish()
+
+
+if __name__ == "__main__":
+    main()

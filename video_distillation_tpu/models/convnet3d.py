@@ -1,0 +1,81 @@
+"""ConvNet3D — the workhorse video classifier, rebuilt NDHWC for TPU.
+
+Architecture parity with the reference torch model
+(``/root/reference/networks.py:727-814``):
+
+* depth-3 stack of Conv3d k=(3,7,7), stride (1,2,2), padding (1,3,3);
+  first layer 64 channels, later layers ``net_width`` (:799-802)
+* optional norm (factory forces 'none' for ConvNet3D — utils.py:609)
+* ReLU (default act), MaxPool3d (1,2,2) after the first block and
+  (2,2,2) after later blocks (:765-770)
+* head: AvgPool3d kernel (2,2,2) stride 1 when im_size[0] > 64 else
+  (2,1,1) (:733), Dropout(0.5) (:735), 1x1x1 Conv3d to num_classes (:736),
+  then max over the remaining time axis (:744)
+* ``embed`` flattens the backbone features (:747-751); all losses that
+  consume it (DM mean-matching, coreset distances) are permutation
+  invariant, so the NDHWC vs NCDHW flatten order difference is immaterial.
+
+Input layout here is ``(B, F, H, W, C)`` (the reference takes (B,F,C,H,W)
+and permutes to NCDHW; on TPU channels-last feeds the MXU directly).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import TorchConv, activation, avg_pool, flatten, max_pool, norm_layer
+
+
+class ConvNet3D(nn.Module):
+    channel: int = 3
+    num_classes: int = 50
+    net_width: int = 128
+    net_depth: int = 3
+    net_act: str = "relu"
+    net_norm: str = "none"
+    net_pooling: str = "maxpooling"
+    frames: int = 16
+    im_size: Tuple[int, int] = (112, 112)
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, output: str = "logits"):
+        # x: (B, F, H, W, C)
+        act = activation(self.net_act)
+        for d in range(self.net_depth):
+            feats = 64 if d == 0 else self.net_width
+            x = TorchConv(
+                features=feats,
+                kernel_size=(3, 7, 7),
+                strides=(1, 2, 2),
+                padding=((1, 1), (3, 3), (3, 3)),
+            )(x)
+            norm = norm_layer(self.net_norm, channels=feats, spatial_rank=3,
+                              train=train)
+            if norm is not None:
+                x = norm(x)
+            x = act(x)
+            if self.net_pooling == "maxpooling":
+                x = max_pool(x, (1, 2, 2) if d == 0 else (2, 2, 2))
+            elif self.net_pooling == "avgpooling":
+                x = avg_pool(x, (2, 2, 2))
+            elif self.net_pooling != "none":
+                raise ValueError(f"unknown net_pooling: {self.net_pooling}")
+
+        feat = flatten(x)
+        if output == "feat":
+            return feat
+
+        head_window = (2, 2, 2) if self.im_size[0] > 64 else (2, 1, 1)
+        x = avg_pool(x, head_window, strides=(1, 1, 1))
+        x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)
+        x = TorchConv(features=self.num_classes, kernel_size=(1, 1, 1))(x)
+        # (B, T', H', W', num_classes) -> squeeze spatial, max over time
+        x = x.squeeze(axis=(2, 3))
+        logits = jnp.max(x, axis=1)
+        if output == "both":
+            return logits, feat
+        return logits

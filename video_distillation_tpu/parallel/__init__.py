@@ -1,0 +1,5 @@
+from .mesh import (data_sharding, get_mesh, make_mesh, replicate,
+                   shard_batch)
+
+__all__ = ["data_sharding", "get_mesh", "make_mesh", "replicate",
+           "shard_batch"]

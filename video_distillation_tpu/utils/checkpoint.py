@@ -1,0 +1,78 @@
+"""Checkpoint / resume for distillation runs.
+
+The reference torch drivers save only output artifacts
+(``images_{it}.pt``/``dynamic_{it}.pt``/``hal_{it}.pt`` —
+``distill_s2d_ms.py:175-193``) and cannot resume a run; only the FRePo JAX
+path has real resume (``frepo.py:451-454``). Here the FULL distillation
+state — synthetic pytree, optimizer momenta, learnable syn_lr, iteration,
+host RNG state — is checkpointed with orbax so any run resumes exactly
+(SURVEY.md §5 "checkpoint/resume").
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def save_state(path: str, state: Any, step: int,
+               host_rng: Optional[np.random.Generator] = None):
+    """Save a pytree + host RNG; path is a directory."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    state = jax.device_get(state)
+    if _HAVE_ORBAX:
+        ckpt_dir = os.path.join(path, f"step_{step}")
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(ckpt_dir, state, force=True)
+    else:  # pragma: no cover
+        with open(os.path.join(path, f"step_{step}.pkl"), "wb") as f:
+            pickle.dump(state, f)
+    meta = {"step": step}
+    if host_rng is not None:
+        meta["rng_state"] = host_rng.bit_generator.state
+    with open(os.path.join(path, "latest.pkl"), "wb") as f:
+        pickle.dump(meta, f)
+
+
+def latest_step(path: str) -> Optional[int]:
+    meta_path = os.path.join(path, "latest.pkl")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path, "rb") as f:
+        return pickle.load(f)["step"]
+
+
+def restore_state(path: str, template: Any):
+    """Returns (state, step, rng_state|None) or None if no checkpoint."""
+    path = os.path.abspath(path)
+    meta_path = os.path.join(path, "latest.pkl")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path, "rb") as f:
+        meta = pickle.load(f)
+    step = meta["step"]
+    if _HAVE_ORBAX:
+        ckptr = ocp.PyTreeCheckpointer()
+        state = ckptr.restore(os.path.join(path, f"step_{step}"),
+                              item=jax.device_get(template))
+    else:  # pragma: no cover
+        with open(os.path.join(path, f"step_{step}.pkl"), "rb") as f:
+            state = pickle.load(f)
+    return state, step, meta.get("rng_state")
+
+
+def save_artifact(path: str, name: str, array):
+    """Reference-style output artifact (images_{it} etc.) as .npy."""
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, f"{name}.npy"), np.asarray(array))
