@@ -111,3 +111,37 @@ def test_dc_augment_and_daparam():
     assert y.shape == x.shape
     assert get_daparam("CIFAR10", "ConvNet", "ConvNetBN", 1)["strategy"] == \
         "crop_noise"
+
+
+def test_grid_shuffle_preserves_pixels():
+    from video_distillation_tpu.ops.augment_extra import grid_shuffle
+    x = _x(b=2, h=16, w=16)
+    y = grid_shuffle(x, jax.random.PRNGKey(0), grid=4)
+    assert y.shape == x.shape
+    # pixel multiset preserved per sample
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.sort(np.asarray(x[i]).ravel()),
+            np.sort(np.asarray(y[i]).ravel()), rtol=1e-6)
+
+
+def test_gaussian_blur_smooths():
+    from video_distillation_tpu.ops.augment_extra import gaussian_blur
+    x = _x(b=2, h=16, w=16)
+    y = gaussian_blur(x, sigma=2.0)
+    assert float(jnp.var(y)) < float(jnp.var(x))
+    # constant image is a fixed point
+    c = jnp.ones((1, 16, 16, 3)) * 0.7
+    np.testing.assert_allclose(np.asarray(gaussian_blur(c)), 0.7, rtol=1e-5)
+
+
+def test_get_aug_by_name_chain():
+    from video_distillation_tpu.ops.augment_extra import get_aug_by_name
+    fn = get_aug_by_name("color_gridshuffle_blur")
+    x = _x(b=4, h=16, w=16)
+    y = fn(jax.random.PRNGKey(0), x)
+    assert y.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(y)))
+    ident = get_aug_by_name("none")
+    np.testing.assert_array_equal(np.asarray(ident(jax.random.PRNGKey(0), x)),
+                                  np.asarray(x))

@@ -49,7 +49,8 @@ def _build_epoch_fn(model_name: str, channel: int, num_classes: int,
         """idx_plan: (nb, batch) with -1 padding."""
 
         def loss_fn(p, x, y, w, dk):
-            logits = model_def.apply({"params": p}, x.astype(cdt),
+            pc = jax.tree.map(lambda a: a.astype(cdt), p)
+            logits = model_def.apply({"params": pc}, x.astype(cdt),
                                      train=True, rngs={"dropout": dk})
             logits = logits.astype(jnp.float32)
             logp = jax.nn.log_softmax(logits, axis=-1)

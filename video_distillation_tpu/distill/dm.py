@@ -70,6 +70,8 @@ def _build_dm_step(model_name: str, channel: int, num_classes: int,
         sample = syn_images[:1]
         params = model_def.init({"params": k_init, "dropout": k_init},
                                 sample, train=False)["params"]
+        # bf16 conv compute requires bf16 params too, else XLA promotes
+        params = jax.tree.map(lambda a: a.astype(cdt), params)
 
         real = clips_u8[real_idx.reshape(-1)]
         real = (real.astype(jnp.float32) - norm_mean) / norm_std
@@ -118,7 +120,9 @@ def make_dm_trainer(store: ClipStore, model_name: str, ipc: int,
         idx = jnp.asarray(store.sample_per_class(np_rng, batch_real))
         syn, mom, loss = step_fn(key, state.syn_images, state.momentum,
                                  clips_dev, idx, norm_mean, norm_std)
-        return DMState(syn, state.labels, mom), float(loss)
+        # loss stays on device — fetching per-iteration costs a full relay
+        # round trip; drivers convert only at log points
+        return DMState(syn, state.labels, mom), loss
 
     return step
 
@@ -144,6 +148,7 @@ def _build_s2d_dm_step(model_name: str, channel: int, num_classes: int,
         sample = jnp.zeros((1, frames, im_size[0], im_size[1], channel))
         params = model_def.init({"params": k_init, "dropout": k_init},
                                 sample, train=False)["params"]
+        params = jax.tree.map(lambda a: a.astype(cdt), params)
 
         real = clips_u8[real_idx.reshape(-1)]
         real = (real.astype(jnp.float32) - norm_mean) / norm_std

@@ -37,6 +37,19 @@ from ..models.registry import create_model, is_video_model
 from ..ops.metrics import per_class_correct
 from .s2d import S2DConfig, hallucinate
 
+
+def _compose_fn(hal_mode: str):
+    """Fused pallas hallucinator on TPU (forward-only is sufficient here:
+    the synthetic memories are frozen during evaluation); XLA conv
+    elsewhere."""
+    if hal_mode == "concat" and jax.default_backend() == "tpu":
+        try:
+            from ..ops.pallas import hallucinate_fused_from_params
+            return hallucinate_fused_from_params
+        except Exception:  # pragma: no cover
+            pass
+    return lambda p, s, d: hallucinate(p, s, d, hal_mode)
+
 TEST_BATCH = 64  # reference testloader batch size (utils.py:459)
 
 
@@ -223,12 +236,12 @@ def _build_train_fn(model_name: str, channel: int, num_classes: int,
                     slot_key, safe, s2d_cfg.spc, s2d_cfg.dpc, s2d_cfg.n_hal)
                 static = state["static"][s_idx]
                 dynamic = state["dynamic"][label, d_idx]
+                compose = _compose_fn(s2d_cfg.hal_mode)
                 if s2d_cfg.n_hal == 1:
-                    x = hallucinate(state["hals"][0], static, dynamic,
-                                    s2d_cfg.hal_mode)
+                    x = compose(state["hals"][0], static, dynamic)
                 else:
                     outs = jnp.stack([
-                        hallucinate(hp, static, dynamic, s2d_cfg.hal_mode)
+                        compose(hp, static, dynamic)
                         for hp in state["hals"]])
                     x = outs[h_idx, jnp.arange(static.shape[0])]
                 y = label
@@ -276,6 +289,8 @@ def _build_test_fn(model_name: str, channel: int, num_classes: int,
         def batch(carry, inp):
             x_u8, y, w = inp
             x = (x_u8.astype(jnp.float32) - mean_a) / std_a
+            if not is_video_model(model_name) and x.ndim == 5:
+                x = x[:, 0]  # image models: drop the singleton frame axis
             x = _video_crop(x, model_name)
             x = _batch_standardize(x, w)
             logits = model_def.apply({"params": params}, x, train=False)
@@ -360,7 +375,8 @@ def evaluate_synset(key, syn_images, syn_labels, data: VideoData,
     pc_corr = np.zeros(meta.num_classes)
     pc_cnt = np.zeros(meta.num_classes)
     for _ in range(cfg.test_repeats):
-        clips = data.test.sample_clips(test_rng)
+        clips = data.test.sample_clips(test_rng,
+                                       flip=data.meta.frames > 1)
         cb, lb, wb = _stack_test_batches(clips, data.test.labels)
         t1, t3, t5, n, pcc, pcn = test_fn(params, cb, lb, wb)
         tot += np.array([float(t1), float(t3), float(t5), float(n)])
@@ -379,14 +395,71 @@ def evaluate_synset(key, syn_images, syn_labels, data: VideoData,
 def evaluate_many(base_key, num_eval: int, syn_images, syn_labels,
                   data: VideoData, cfg: EvalConfig,
                   test_rng: np.random.Generator,
-                  s2d_cfg: Optional[S2DConfig] = None, s2d_state=None):
+                  s2d_cfg: Optional[S2DConfig] = None, s2d_state=None,
+                  vmap_eval: bool = False):
     """The reference's num_eval loop (distill_baseline.py:154-162): fresh
-    nets, mean/std over runs."""
+    nets, mean/std over runs.
+
+    ``vmap_eval=True`` trains all num_eval nets in ONE vmapped jit and
+    shares each test pass across them — a TPU-native batching of the
+    protocol (identical per-net semantics; fresh nets = fresh keys).
+    """
+    if vmap_eval and cfg.mode == "none":
+        return _evaluate_many_vmapped(base_key, num_eval, syn_images,
+                                      syn_labels, data, cfg, test_rng)
     results = []
     for i in range(num_eval):
         k = jax.random.fold_in(base_key, i)
         results.append(evaluate_synset(k, syn_images, syn_labels, data, cfg,
                                        test_rng, s2d_cfg, s2d_state))
+    accs = np.array([r.top1 if cfg.eval_mode != "top5" else r.top5
+                     for r in results])
+    return results, float(accs.mean()), float(accs.std())
+
+
+def _evaluate_many_vmapped(base_key, num_eval, syn_images, syn_labels,
+                           data: VideoData, cfg: EvalConfig,
+                           test_rng: np.random.Generator):
+    meta = data.meta
+    n_syn = int(syn_images.shape[0])
+    labels_arg = (jnp.asarray(syn_labels, jnp.float32)
+                  if cfg.loss == "mse"
+                  else jnp.asarray(syn_labels, jnp.int32))
+    train_fn, _ = _build_train_fn(
+        cfg.model, meta.channel, meta.num_classes, tuple(meta.im_size),
+        meta.frames, n_syn, cfg, None)
+    keys = jax.random.split(base_key, num_eval)
+    params, acc_train, _ = jax.vmap(
+        train_fn, in_axes=(0, None, None))(keys, syn_images, labels_arg)
+
+    test_fn, _ = _build_test_fn(cfg.model, meta.channel, meta.num_classes,
+                                tuple(meta.im_size), meta.frames,
+                                tuple(meta.mean), tuple(meta.std))
+    vtest = jax.vmap(test_fn, in_axes=(0, None, None, None))
+    tot = np.zeros((num_eval, 4))
+    pc_corr = np.zeros((num_eval, meta.num_classes))
+    pc_cnt = np.zeros((num_eval, meta.num_classes))
+    for _ in range(cfg.test_repeats):
+        clips = data.test.sample_clips(test_rng,
+                                       flip=data.meta.frames > 1)
+        cb, lb, wb = _stack_test_batches(clips, data.test.labels)
+        t1, t3, t5, n, pcc, pcn = vtest(params, cb, lb, wb)
+        tot += np.stack([np.asarray(t1), np.asarray(t3), np.asarray(t5),
+                         np.asarray(n)], axis=1)
+        pc_corr += np.asarray(pcc)
+        pc_cnt += np.asarray(pcn)
+    results = []
+    for i in range(num_eval):
+        top1 = tot[i, 0] / tot[i, 3]
+        top3 = tot[i, 1] / tot[i, 3]
+        top5 = tot[i, 2] / tot[i, 3]
+        acc_pc = np.where(pc_cnt[i] > 0,
+                          pc_corr[i] / np.maximum(pc_cnt[i], 1), np.nan)
+        acc_test = [top1, top1, top3, top5] if cfg.eval_mode == "top5" \
+            else top1
+        results.append(EvalResult(
+            acc_train=float(acc_train[i]), acc_test=acc_test,
+            acc_per_class=acc_pc, top1=top1, top3=top3, top5=top5))
     accs = np.array([r.top1 if cfg.eval_mode != "top5" else r.top5
                      for r in results])
     return results, float(accs.mean()), float(accs.std())

@@ -142,6 +142,43 @@ class ModelPool:
             el["step"] = 0
 
 
+def krr_evaluate(model_def, params, x_syn, y_syn, test_clips_u8,
+                 test_labels, mean, std, reg: float = 1e-6,
+                 batch: int = 256):
+    """KRR evaluation (frepo.py:205-227 ``proto_eval_step`` +
+    ``compute_feat_kpp``): features of the synthetic set form the kernel;
+    test predictions are ridge-regression reads. Returns top-1 accuracy."""
+    mean_a = jnp.asarray(mean, jnp.float32) * 255.0
+    std_a = jnp.asarray(std, jnp.float32) * 255.0
+
+    @jax.jit
+    def feat_of(x_u8):
+        x = (x_u8.astype(jnp.float32) - mean_a) / std_a
+        return model_def.apply({"params": params}, x, train=False,
+                               output="feat")
+
+    @jax.jit
+    def syn_feat(x_syn):
+        return model_def.apply({"params": params}, x_syn, train=False,
+                               output="feat")
+
+    feat_syn = syn_feat(x_syn).astype(jnp.float32)
+    k_pp = feat_syn @ feat_syn.T
+    n = k_pp.shape[0]
+    k_pp_reg = k_pp + jnp.abs(reg) * jnp.trace(k_pp) * jnp.eye(n) / n
+    sol = jsp.linalg.solve(k_pp_reg, y_syn, assume_a="pos")
+
+    correct, total = 0, 0
+    for i in range(0, test_clips_u8.shape[0], batch):
+        xb = jnp.asarray(test_clips_u8[i:i + batch])
+        yb = test_labels[i:i + batch]
+        ft = feat_of(xb).astype(jnp.float32)
+        pred = ft @ feat_syn.T @ sol
+        correct += int((np.asarray(jnp.argmax(pred, -1)) == yb).sum())
+        total += len(yb)
+    return correct / max(1, total)
+
+
 def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
                        key, path_static: Optional[np.ndarray] = None):
     """Builds the full FRePo S2D training closure.
@@ -153,8 +190,12 @@ def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
     meta = store.meta
     model_def = create_model(model_name, meta.channel, cfg.num_classes,
                              tuple(meta.im_size), cfg.frames)
-    sample_shape = (1, cfg.frames, meta.im_size[0], meta.im_size[1],
-                    meta.channel)
+    from ..models.registry import is_video_model
+    if is_video_model(model_name):
+        sample_shape = (1, cfg.frames, meta.im_size[0], meta.im_size[1],
+                        meta.channel)
+    else:
+        sample_shape = (1, meta.im_size[0], meta.im_size[1], meta.channel)
 
     k_syn, k_pool = jax.random.split(key)
     # synthetic state
@@ -165,15 +206,26 @@ def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
                         hal_mode=cfg.hal_mode)
     from .s2d import init_s2d_state
     ks, kd = jax.random.split(k_syn)
-    base = init_s2d_state(ks, s2d_cfg)
-    if path_static is not None:
-        base["static"] = jnp.asarray(path_static)
     y_scale = float(np.sqrt(cfg.num_classes / 10.0))
     y_syn = frepo_labels(np.repeat(np.arange(cfg.num_classes), cfg.ppc),
                          cfg.num_classes, scale=y_scale)
-    state = {"dynamic": base["dynamic"], "hals": base["hals"],
-             "y_syn": jnp.asarray(y_syn)}
-    static_frozen = base["static"]
+    if cfg.s2d:
+        base = init_s2d_state(ks, s2d_cfg)
+        if path_static is not None:
+            base["static"] = jnp.asarray(path_static)
+        state = {"dynamic": base["dynamic"], "hals": base["hals"],
+                 "y_syn": jnp.asarray(y_syn)}
+        static_frozen = base["static"]
+    else:
+        # raw ProtoHolder (frepo.py:129-143): learnable x_proto initialised
+        # from random real samples per class
+        rng0 = np.random.default_rng(0)
+        idx = store.sample_per_class(rng0, cfg.ppc).reshape(-1)
+        import jax.numpy as _jnp
+        x0 = store.normalize(_jnp.asarray(store.clips[idx]))
+        state = {"x_proto": x0.astype(jnp.float32),
+                 "y_syn": jnp.asarray(y_syn)}
+        static_frozen = None
 
     # Adam param groups: lr_d for dynamic, lr_h for the rest, both cosine
     # annealed (eta_min = 0.1x lr_h per synsch — distill_s2d.py:272)
@@ -181,10 +233,11 @@ def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
         return optax.cosine_decay_schedule(lr, cfg.Iteration,
                                            alpha=0.1)
 
-    label_fn = {"dynamic": "d", "hals": "h", "y_syn": "h"}
+    labels_map = ({"dynamic": "d", "hals": "h", "y_syn": "h"} if cfg.s2d
+                  else {"x_proto": "d", "y_syn": "h"})
     tx = optax.multi_transform(
         {"d": optax.adam(cosine(cfg.lr_d)), "h": optax.adam(cosine(cfg.lr_h))},
-        {"dynamic": "d", "hals": "h", "y_syn": "h"})
+        labels_map)
     opt_state = tx.init(state)
 
     norm_mean = jnp.asarray(meta.mean, jnp.float32) * 255.0
@@ -194,7 +247,9 @@ def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
 
     def compose(state, hal_choice):
         """All prototypes: static_idx=i, dynamic_idx=i%dpc
-        (distill_s2d.py:69-81)."""
+        (distill_s2d.py:69-81); raw mode returns x_proto directly."""
+        if not cfg.s2d:
+            return state["x_proto"]
         n = cfg.num_classes * cfg.dpc
         i = jnp.arange(n)
         static = static_frozen[i]

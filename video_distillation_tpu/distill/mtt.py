@@ -90,8 +90,11 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
             x, y, w, step_i = inp
 
             def ce(th):
+                # mixed precision: bf16 conv compute, fp32 master θ —
+                # casting only x would promote convs back to fp32
+                p = jax.tree.map(lambda a: a.astype(cdt), unravel(th))
                 logits = model_def.apply(
-                    {"params": unravel(th)}, x.astype(cdt), train=True,
+                    {"params": p}, x.astype(cdt), train=True,
                     rngs={"dropout": jax.random.fold_in(drop_key, step_i)})
                 logits = logits.astype(jnp.float32)
                 logp = jax.nn.log_softmax(logits, axis=-1)

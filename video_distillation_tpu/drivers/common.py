@@ -65,12 +65,16 @@ class EvalTracker:
         self.best_std: Dict[str, float] = {m: 0.0 for m in self.pool}
         self.test_rng = np.random.default_rng(cfg.seed + 123)
 
+    def should_eval(self, it: int) -> bool:
+        cfg = self.cfg
+        return it in range(cfg.startIt, cfg.Iteration + 1, cfg.eval_it)
+
     def maybe_eval(self, it: int, key, syn_images, syn_labels, lr_net,
                    s2d_cfg=None, s2d_state=None) -> bool:
         cfg = self.cfg
-        eval_its = range(cfg.startIt, cfg.Iteration + 1, cfg.eval_it)
-        if it not in eval_its:
+        if not self.should_eval(it):
             return False
+        lr_net = float(lr_net)
         save_best = False
         for model_eval in self.pool:
             ecfg = EvalConfig(

@@ -22,9 +22,25 @@ from ..config import DistillConfig, get_preset
 from ..distill.buffer import load_buffers
 from ..distill.dm import DMState, init_synthetic_raw, make_dm_trainer
 from ..distill.mtt import ExpertSampler, _build_mtt_step, make_batch_plan
-from ..utils.checkpoint import save_artifact
+from ..utils.checkpoint import restore_state, save_artifact, save_state
 from ..utils.logging import MetricLogger, StepTimer
 from .common import EvalTracker, load_data
+
+
+def _mtt_plan_sharding(batch_syn: int):
+    """Shard the (syn_steps, batch_syn) index plan over the data axis when
+    multiple devices are visible — XLA then partitions the whole inner
+    unroll (batch dim) and psums parameter gradients over ICI
+    (SURVEY.md §2.3: the TPU-native replacement for nn.DataParallel)."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import make_mesh
+
+    n_dev = len(_jax.devices())
+    if n_dev > 1 and batch_syn % n_dev == 0:
+        return NamedSharding(make_mesh(), P(None, "data"))
+    return None
 
 
 def run_dm(cfg: DistillConfig, data, logger: MetricLogger):
@@ -37,6 +53,18 @@ def run_dm(cfg: DistillConfig, data, logger: MetricLogger):
                               cfg.batch_real, cfg.lr_img, cfg.frames,
                               cfg.compute_dtype)
     save_dir = os.path.join(cfg.save_path, f"Baseline_DM_{cfg.dataset}")
+    ckpt_dir = os.path.join(save_dir, "ckpt")
+    start_it = 0
+    restored = restore_state(ckpt_dir, {"syn": state.syn_images,
+                                        "mom": state.momentum})
+    if restored is not None:
+        st, start_it, rng_state = restored
+        state = DMState(jnp.asarray(st["syn"]), labels,
+                        jnp.asarray(st["mom"]))
+        if rng_state:
+            rng.bit_generator.state = rng_state
+        start_it += 1
+        print(f"resumed DM run at iteration {start_it}")
 
     def save(it, best):
         save_artifact(save_dir, f"images_{it}", state.syn_images)
@@ -45,14 +73,17 @@ def run_dm(cfg: DistillConfig, data, logger: MetricLogger):
 
     tracker = EvalTracker(cfg, data, logger, save_dir, save)
     timer = StepTimer()
-    for it in range(cfg.Iteration + 1):
+    for it in range(start_it, cfg.Iteration + 1):
         tracker.maybe_eval(it, jax.random.fold_in(key, 10_000_000 + it),
                            state.syn_images, state.labels, cfg.lr_net)
         state, loss = trainer(jax.random.fold_in(key, it), state, rng)
         timer.tick()
         if it % 100 == 0:
-            logger.log({"Loss": loss / data.meta.num_classes,
+            logger.log({"Loss": float(loss) / data.meta.num_classes,
                         "steps_per_sec": timer.rate()}, step=it)
+        if it % 1000 == 0 and it > 0:
+            save_state(ckpt_dir, {"syn": state.syn_images,
+                                  "mom": state.momentum}, it, rng)
     return state
 
 
@@ -72,10 +103,26 @@ def run_mtt(cfg: DistillConfig, data, logger: MetricLogger):
                               tuple(meta.im_size), cfg.frames,
                               cfg.syn_steps, cfg.lr_img, cfg.lr_lr,
                               cfg.train_lr, cfg.compute_dtype)
+    plan_sharding = _mtt_plan_sharding(batch_syn)
     syn_lr = jnp.asarray(float(cfg.lr_teacher))
     mom_img = jnp.zeros_like(syn)
     mom_lr = jnp.zeros(())
     save_dir = os.path.join(cfg.save_path, f"Baseline_MTT_{cfg.dataset}")
+    ckpt_dir = os.path.join(save_dir, "ckpt")
+    start_it = 0
+    restored = restore_state(ckpt_dir, {"syn": syn, "syn_lr": syn_lr,
+                                        "mom_img": mom_img,
+                                        "mom_lr": mom_lr})
+    if restored is not None:
+        st, start_it, rng_state = restored
+        syn = jnp.asarray(st["syn"])
+        syn_lr = jnp.asarray(st["syn_lr"])
+        mom_img = jnp.asarray(st["mom_img"])
+        mom_lr = jnp.asarray(st["mom_lr"])
+        if rng_state:
+            rng.bit_generator.state = rng_state
+        start_it += 1
+        print(f"resumed MTT run at iteration {start_it}")
 
     holder = {"syn": syn}
 
@@ -86,13 +133,16 @@ def run_mtt(cfg: DistillConfig, data, logger: MetricLogger):
 
     tracker = EvalTracker(cfg, data, logger, save_dir, save)
     timer = StepTimer()
-    for it in range(cfg.Iteration + 1):
-        tracker.maybe_eval(it, jax.random.fold_in(key, 10_000_000 + it),
-                           holder["syn"], labels, float(syn_lr))
+    for it in range(start_it, cfg.Iteration + 1):
+        if tracker.should_eval(it):
+            tracker.maybe_eval(it, jax.random.fold_in(key, 10_000_000 + it),
+                               holder["syn"], labels, float(syn_lr))
         theta0, theta1, start_epoch = sampler.sample_segment(
             cfg.max_start_epoch, cfg.expert_epochs)
         plan = jnp.asarray(make_batch_plan(rng, n_syn, batch_syn,
                                            cfg.syn_steps))
+        if plan_sharding is not None:
+            plan = jax.device_put(plan, plan_sharding)
         out = step_fn(jax.random.fold_in(key, it), holder["syn"], labels,
                       syn_lr, mom_img, mom_lr, jnp.asarray(theta0),
                       jnp.asarray(theta1), plan)
@@ -103,6 +153,10 @@ def run_mtt(cfg: DistillConfig, data, logger: MetricLogger):
                         "Start_Epoch": start_epoch,
                         "Synthetic_LR": float(syn_lr),
                         "steps_per_sec": timer.rate()}, step=it)
+        if it % 1000 == 0 and it > 0:
+            save_state(ckpt_dir, {"syn": holder["syn"], "syn_lr": syn_lr,
+                                  "mom_img": mom_img, "mom_lr": mom_lr},
+                       it, rng)
     return holder["syn"], labels, syn_lr
 
 

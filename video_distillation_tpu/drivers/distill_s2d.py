@@ -20,7 +20,7 @@ from ..distill.buffer import load_buffers
 from ..distill.dm import init_s2d_momentum, make_s2d_dm_trainer
 from ..distill.mtt import ExpertSampler, _build_s2d_mtt_step, make_batch_plan
 from ..distill.s2d import S2DConfig, init_s2d_state
-from ..utils.checkpoint import save_artifact
+from ..utils.checkpoint import restore_state, save_artifact, save_state
 from ..utils.logging import MetricLogger, StepTimer
 from .common import EvalTracker, load_data
 
@@ -46,7 +46,20 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
     moms = init_s2d_momentum(state)
     save_dir = os.path.join(cfg.save_path,
                             f"S2D_multis_{cfg.method}_{cfg.dataset}")
+    ckpt_dir = os.path.join(save_dir, "ckpt")
     holder = {"state": state, "syn_lr": jnp.asarray(float(cfg.lr_teacher))}
+    start_it = 0
+    restored = restore_state(ckpt_dir, {"state": state, "moms": moms,
+                                        "syn_lr": holder["syn_lr"]})
+    if restored is not None:
+        st, start_it, rng_state = restored
+        holder["state"] = jax.tree.map(jnp.asarray, st["state"])
+        moms = jax.tree.map(jnp.asarray, st["moms"])
+        holder["syn_lr"] = jnp.asarray(st["syn_lr"])
+        if rng_state:
+            rng.bit_generator.state = rng_state
+        start_it += 1
+        print(f"resumed S2D run at iteration {start_it}")
 
     def save(it, best):
         st = holder["state"]
@@ -67,16 +80,22 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
             data.train, cfg.model, s2d_cfg, cfg.batch_real, cfg.lr_static,
             cfg.lr_dynamic, cfg.lr_hal, not cfg.no_train_static, cfg.frames,
             cfg.compute_dtype)
-        for it in range(cfg.Iteration + 1):
-            tracker.maybe_eval(it, jax.random.fold_in(key, 10_000_000 + it),
-                               None, None, float(holder["syn_lr"]),
-                               s2d_cfg=s2d_cfg, s2d_state=holder["state"])
+        for it in range(start_it, cfg.Iteration + 1):
+            if tracker.should_eval(it):
+                tracker.maybe_eval(
+                    it, jax.random.fold_in(key, 10_000_000 + it), None,
+                    None, float(holder["syn_lr"]), s2d_cfg=s2d_cfg,
+                    s2d_state=holder["state"])
             holder["state"], moms, loss = trainer(
                 jax.random.fold_in(key, it), holder["state"], moms, rng)
             timer.tick()
             if it % 100 == 0:
                 logger.log({"Loss": float(loss) / meta.num_classes,
                             "steps_per_sec": timer.rate()}, step=it)
+            if it % 1000 == 0 and it > 0:
+                save_state(ckpt_dir, {"state": holder["state"],
+                                      "moms": moms,
+                                      "syn_lr": holder["syn_lr"]}, it, rng)
     elif cfg.method == "MTT":
         buffers = load_buffers(cfg.buffer_path)
         sampler = ExpertSampler(buffers, rng)
@@ -88,15 +107,21 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
             cfg.frames, cfg.syn_steps, s2d_items, cfg.lr_static,
             cfg.lr_dynamic, cfg.lr_hal, cfg.lr_lr,
             not cfg.no_train_static, cfg.train_lr, cfg.compute_dtype)
+        from .distill_baseline import _mtt_plan_sharding
+        plan_sharding = _mtt_plan_sharding(batch_syn)
         mom_lr = jnp.zeros(())
-        for it in range(cfg.Iteration + 1):
-            tracker.maybe_eval(it, jax.random.fold_in(key, 10_000_000 + it),
-                               None, None, float(holder["syn_lr"]),
-                               s2d_cfg=s2d_cfg, s2d_state=holder["state"])
+        for it in range(start_it, cfg.Iteration + 1):
+            if tracker.should_eval(it):
+                tracker.maybe_eval(
+                    it, jax.random.fold_in(key, 10_000_000 + it), None,
+                    None, float(holder["syn_lr"]), s2d_cfg=s2d_cfg,
+                    s2d_state=holder["state"])
             theta0, theta1, start_epoch = sampler.sample_segment(
                 cfg.max_start_epoch, cfg.expert_epochs)
             plan = jnp.asarray(make_batch_plan(rng, n_syn, batch_syn,
                                                cfg.syn_steps))
+            if plan_sharding is not None:
+                plan = jax.device_put(plan, plan_sharding)
             out = step_fn(jax.random.fold_in(key, it), holder["state"],
                           holder["syn_lr"], moms, mom_lr,
                           jnp.asarray(theta0), jnp.asarray(theta1), plan)
@@ -108,6 +133,10 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
                             "Start_Epoch": start_epoch,
                             "Synthetic_LR": float(holder["syn_lr"]),
                             "steps_per_sec": timer.rate()}, step=it)
+            if it % 1000 == 0 and it > 0:
+                save_state(ckpt_dir, {"state": holder["state"],
+                                      "moms": moms,
+                                      "syn_lr": holder["syn_lr"]}, it, rng)
     else:
         raise NotImplementedError(cfg.method)
     return holder
