@@ -93,6 +93,9 @@ class BufferConfig:
     eval_mode: str = "SS"
     frames: int = 16
     seed: int = 0
+    # bf16 conv compute with fp32 master weights — ~4x the fp32 epoch
+    # throughput; snapshots stay fp32 (see PARITY.md)
+    compute_dtype: str = "bfloat16"
 
 
 _PRESETS = {

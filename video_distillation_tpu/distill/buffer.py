@@ -122,7 +122,7 @@ def train_expert(key, store: ClipStore, cfg: BufferConfig,
     nb = _cdiv(n, batch)
     epoch_fn = _build_epoch_fn(cfg.model, meta.channel, meta.num_classes,
                                tuple(meta.im_size), cfg.frames, batch, nb,
-                               cfg.mom, cfg.l2, True, "float32")
+                               cfg.mom, cfg.l2, True, cfg.compute_dtype)
     clips_dev = store.device_clips()
     labels_dev = jnp.asarray(store.labels)
     norm_mean = jnp.asarray(meta.mean, jnp.float32) * 255.0

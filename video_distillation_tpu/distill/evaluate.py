@@ -338,10 +338,27 @@ class EvalResult:
     params: Any = None
 
 
+def sample_test_batches(data: VideoData, cfg: EvalConfig,
+                        test_rng: np.random.Generator):
+    """Draw test_repeats sets of random temporal crops, stacked into
+    device-resident uint8 batch arrays. Sharing one draw across the
+    num_eval models keeps the host->device traffic to test_repeats
+    uploads instead of num_eval x test_repeats (statistically identical:
+    the crops are i.i.d. either way — see PARITY.md)."""
+    batches = []
+    for _ in range(cfg.test_repeats):
+        clips = data.test.sample_clips(test_rng,
+                                       flip=data.meta.frames > 1)
+        cb, lb, wb = _stack_test_batches(clips, data.test.labels)
+        batches.append((jax.device_put(cb), jax.device_put(lb),
+                        jax.device_put(wb)))
+    return batches
+
+
 def evaluate_synset(key, syn_images, syn_labels, data: VideoData,
                     cfg: EvalConfig, test_rng: np.random.Generator,
                     s2d_cfg: Optional[S2DConfig] = None,
-                    s2d_state=None) -> EvalResult:
+                    s2d_state=None, test_batches=None) -> EvalResult:
     """Train one fresh net on the synthetic set and test it.
 
     ``syn_images`` live in normalised (post-ImageNet-transform) space, as in
@@ -371,13 +388,12 @@ def evaluate_synset(key, syn_images, syn_labels, data: VideoData,
     test_fn, _ = _build_test_fn(cfg.model, meta.channel, meta.num_classes,
                                 tuple(meta.im_size), meta.frames,
                                 tuple(meta.mean), tuple(meta.std))
+    if test_batches is None:
+        test_batches = sample_test_batches(data, cfg, test_rng)
     tot = np.zeros(4)
     pc_corr = np.zeros(meta.num_classes)
     pc_cnt = np.zeros(meta.num_classes)
-    for _ in range(cfg.test_repeats):
-        clips = data.test.sample_clips(test_rng,
-                                       flip=data.meta.frames > 1)
-        cb, lb, wb = _stack_test_batches(clips, data.test.labels)
+    for cb, lb, wb in test_batches:
         t1, t3, t5, n, pcc, pcn = test_fn(params, cb, lb, wb)
         tot += np.array([float(t1), float(t3), float(t5), float(n)])
         pc_corr += np.asarray(pcc)
@@ -408,10 +424,12 @@ def evaluate_many(base_key, num_eval: int, syn_images, syn_labels,
         return _evaluate_many_vmapped(base_key, num_eval, syn_images,
                                       syn_labels, data, cfg, test_rng)
     results = []
+    test_batches = sample_test_batches(data, cfg, test_rng)
     for i in range(num_eval):
         k = jax.random.fold_in(base_key, i)
         results.append(evaluate_synset(k, syn_images, syn_labels, data, cfg,
-                                       test_rng, s2d_cfg, s2d_state))
+                                       test_rng, s2d_cfg, s2d_state,
+                                       test_batches=test_batches))
     accs = np.array([r.top1 if cfg.eval_mode != "top5" else r.top5
                      for r in results])
     return results, float(accs.mean()), float(accs.std())
@@ -439,10 +457,7 @@ def _evaluate_many_vmapped(base_key, num_eval, syn_images, syn_labels,
     tot = np.zeros((num_eval, 4))
     pc_corr = np.zeros((num_eval, meta.num_classes))
     pc_cnt = np.zeros((num_eval, meta.num_classes))
-    for _ in range(cfg.test_repeats):
-        clips = data.test.sample_clips(test_rng,
-                                       flip=data.meta.frames > 1)
-        cb, lb, wb = _stack_test_batches(clips, data.test.labels)
+    for cb, lb, wb in sample_test_batches(data, cfg, test_rng):
         t1, t3, t5, n, pcc, pcn = vtest(params, cb, lb, wb)
         tot += np.stack([np.asarray(t1), np.asarray(t3), np.asarray(t5),
                          np.asarray(n)], axis=1)
