@@ -70,11 +70,27 @@ class ClipStore:
     def num_classes(self):
         return self.meta.num_classes
 
+    @property
+    def item_shape(self):
+        return self.clips.shape[1:]
+
     def device_clips(self) -> jax.Array:
-        """uint8 clip tensor on the default device (cached)."""
+        """uint8 clip store on the default device (cached), flattened to
+        (N, prod(item_shape)).
+
+        Measured on v5e: gathering rows of the flat 2-D layout is ~13x
+        faster than the same gather on the 5-D array (XLA tiles the tiny
+        trailing channel dim poorly). Consumers reshape the gathered rows
+        back to clips — a free metadata view.
+        """
         if self._device_clips is None:
-            self._device_clips = jnp.asarray(self.clips)
+            self._device_clips = jnp.asarray(
+                self.clips.reshape(self.clips.shape[0], -1))
         return self._device_clips
+
+    def gather_clips(self, clips2d: jax.Array, idx) -> jax.Array:
+        """Gather rows from device_clips() -> (len(idx), *item_shape)."""
+        return clips2d[idx].reshape((-1,) + tuple(self.item_shape))
 
     def class_table(self) -> Tuple[np.ndarray, np.ndarray]:
         """(indices (C, max_count) padded with repeats, counts (C,))."""

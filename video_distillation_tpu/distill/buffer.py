@@ -64,7 +64,8 @@ def _build_epoch_fn(model_name: str, channel: int, num_classes: int,
             idx, step_i = inp
             w = (idx >= 0).astype(jnp.float32)
             safe = jnp.maximum(idx, 0)
-            x = clips_u8[safe]
+            x = clips_u8[safe].reshape(
+                (batch, frames) + im_size + (channel,))
             x = (x.astype(jnp.float32) - norm_mean) / norm_std
             if flip:
                 fk = jax.random.fold_in(jax.random.fold_in(key, 1), step_i)

@@ -91,7 +91,8 @@ def select_coreset(key, store: ClipStore, model_name: str, ipc: int,
         feats = []
         for i in range(0, len(cls_idx), chunk):
             part = jnp.asarray(cls_idx[i:i + chunk])
-            feats.append(np.asarray(embed_fn(params, clips_dev[part],
+            batch = store.gather_clips(clips_dev, part)
+            feats.append(np.asarray(embed_fn(params, batch,
                                              norm_mean, norm_std)))
         feats = np.concatenate(feats, axis=0)
         sel = selector(feats, min(ipc, len(cls_idx)))

@@ -61,9 +61,9 @@ def _build_dc_step(model_name: str, channel: int, num_classes: int,
         params = model_def.init({"params": k_init, "dropout": k_init},
                                 sample, train=False)["params"]
 
-        real = clips_u8[real_idx.reshape(-1)]
+        real = clips_u8[real_idx.reshape(-1)].reshape(
+            (num_classes, batch_real) + im_size + (channel,))
         real = ((real.astype(jnp.float32) - norm_mean) / norm_std)
-        real = real.reshape((num_classes, batch_real) + real.shape[1:])
         syn_by_class = syn_images.reshape((num_classes, ipc) +
                                           syn_images.shape[1:])
 

@@ -73,7 +73,8 @@ def _build_dm_step(model_name: str, channel: int, num_classes: int,
         # bf16 conv compute requires bf16 params too, else XLA promotes
         params = jax.tree.map(lambda a: a.astype(cdt), params)
 
-        real = clips_u8[real_idx.reshape(-1)]
+        real = clips_u8[real_idx.reshape(-1)].reshape(
+            (-1, frames) + im_size + (channel,))
         real = (real.astype(jnp.float32) - norm_mean) / norm_std
 
         feat_real = model_def.apply({"params": params}, real.astype(cdt),
@@ -150,7 +151,8 @@ def _build_s2d_dm_step(model_name: str, channel: int, num_classes: int,
                                 sample, train=False)["params"]
         params = jax.tree.map(lambda a: a.astype(cdt), params)
 
-        real = clips_u8[real_idx.reshape(-1)]
+        real = clips_u8[real_idx.reshape(-1)].reshape(
+            (-1, frames) + im_size + (channel,))
         real = (real.astype(jnp.float32) - norm_mean) / norm_std
         feat_real = model_def.apply({"params": params}, real.astype(cdt),
                                     train=True, output="feat")
@@ -166,8 +168,13 @@ def _build_s2d_dm_step(model_name: str, channel: int, num_classes: int,
                                             jnp.arange(n))
 
         def loss_fn(state):
-            static = state["static"][s_idx]
-            dynamic = state["dynamic"][label, d_idx]
+            st = state["static"]
+            static = st.reshape(st.shape[0], -1)[s_idx].reshape(
+                (-1,) + st.shape[1:])
+            dy = state["dynamic"]
+            flat_idx = label * dy.shape[1] + d_idx
+            dynamic = dy.reshape(dy.shape[0] * dy.shape[1], -1)[
+                flat_idx].reshape((-1,) + dy.shape[2:])
             syn = hallucinate(state["hals"][0], static, dynamic,
                               s2d_cfg.hal_mode)
             feat_syn = model_def.apply({"params": params}, syn.astype(cdt),

@@ -174,6 +174,9 @@ def _build_train_fn(model_name: str, channel: int, num_classes: int,
         else:
             syn_images = syn_images_or_state
             sample = syn_images[:1]
+            # 2-D row gathers are ~13x faster than N-D gathers on TPU
+            item_shape = syn_images.shape[1:]
+            syn2d = syn_images.reshape(n_syn, -1)
         variables = model_def.init({"params": k_init, "dropout": k_init},
                                    _video_crop(sample, model_name)
                                    if is_video_model(model_name) else sample,
@@ -234,8 +237,13 @@ def _build_train_fn(model_name: str, channel: int, num_classes: int,
                 slot_key = jax.random.fold_in(k_slots, step_i)
                 label, s_idx, d_idx, h_idx = _eval_slot_draw(
                     slot_key, safe, s2d_cfg.spc, s2d_cfg.dpc, s2d_cfg.n_hal)
-                static = state["static"][s_idx]
-                dynamic = state["dynamic"][label, d_idx]
+                st = state["static"]
+                static = st.reshape(st.shape[0], -1)[s_idx].reshape(
+                    (-1,) + st.shape[1:])
+                dy = state["dynamic"]
+                flat_di = label * dy.shape[1] + d_idx
+                dynamic = dy.reshape(dy.shape[0] * dy.shape[1], -1)[
+                    flat_di].reshape((-1,) + dy.shape[2:])
                 compose = _compose_fn(s2d_cfg.hal_mode)
                 if s2d_cfg.n_hal == 1:
                     x = compose(state["hals"][0], static, dynamic)
@@ -246,7 +254,7 @@ def _build_train_fn(model_name: str, channel: int, num_classes: int,
                     x = outs[h_idx, jnp.arange(static.shape[0])]
                 y = label
             else:
-                x = syn_images[safe]
+                x = syn2d[safe].reshape((safe.shape[0],) + item_shape)
                 y = syn_labels[safe]
             x = _video_crop(x, model_name)
             if cfg.standardize:

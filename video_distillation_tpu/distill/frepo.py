@@ -266,7 +266,8 @@ def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
         kh = jax.random.split(key, 1)[0]
         hal_choice = jax.random.randint(
             kh, (cfg.num_classes * cfg.dpc,), 0, max(1, cfg.n_hal))
-        real = clips_dev[real_idx]
+        real = clips_dev[real_idx].reshape(
+            (-1,) + tuple(store.item_shape))
         x_tar = (real.astype(jnp.float32) - norm_mean) / norm_std
         feat_tar = model_def.apply({"params": pool_params}, x_tar,
                                    train=False, output="feat")

@@ -129,7 +129,9 @@ def _build_mtt_step(model_name: str, channel: int, num_classes: int,
         batches_y = syn_labels[safe]
 
         def loss_fn(syn, lr_scalar):
-            batches_x = syn[safe]  # (S, B, F, H, W, C)
+            item = syn.shape[1:]
+            syn2d = syn.reshape(syn.shape[0], -1)
+            batches_x = syn2d[safe].reshape(safe.shape + item)
             loss, aux = unroll(theta_start, theta_target, lr_scalar,
                                batches_x, batches_y, w, key)
             return loss, aux
@@ -178,9 +180,13 @@ def _build_s2d_mtt_step(model_name: str, channel: int, num_classes: int,
         labels, s_idxs, d_idxs = jax.vmap(draw)(jnp.arange(syn_steps), safe)
 
         def loss_fn(state, lr_scalar):
-            static = state["static"][s_idxs.reshape(-1)]
-            dynamic = state["dynamic"][labels.reshape(-1),
-                                       d_idxs.reshape(-1)]
+            st = state["static"]
+            static = st.reshape(st.shape[0], -1)[
+                s_idxs.reshape(-1)].reshape((-1,) + st.shape[1:])
+            dy = state["dynamic"]
+            flat_idx = labels.reshape(-1) * dy.shape[1] + d_idxs.reshape(-1)
+            dynamic = dy.reshape(dy.shape[0] * dy.shape[1], -1)[
+                flat_idx].reshape((-1,) + dy.shape[2:])
             videos = hallucinate(state["hals"][0], static, dynamic,
                                  s2d_cfg.hal_mode)
             batches_x = videos.reshape((syn_steps, -1) + videos.shape[1:])
