@@ -35,3 +35,68 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (2, 50)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_pad_and_shard_plan_pads_and_masks():
+    from video_distillation_tpu.parallel import pad_and_shard_plan
+
+    plan = np.arange(2 * 5, dtype=np.int32).reshape(2, 5)  # 5 % 8 != 0
+    out = pad_and_shard_plan(plan)
+    assert out.shape == (2, 8)
+    np.testing.assert_array_equal(np.asarray(out)[:, :5], plan)
+    assert (np.asarray(out)[:, 5:] == -1).all()
+    # sharded over the data axis, not replicated
+    from video_distillation_tpu.parallel import data_sharding, get_mesh
+    assert not out.sharding.is_fully_replicated
+
+
+def test_sharded_dm_step_matches_replicated():
+    """A DM outer step with sharded per-class indices must equal the
+    replicated-placement run (same inputs)."""
+    import jax.numpy as jnp
+    from video_distillation_tpu.distill.dm import _build_dm_step
+    from video_distillation_tpu.parallel import (get_mesh, replicate_array,
+                                                 shard_divisible)
+
+    C_, B_, F_, IM = 4, 8, 8, (64, 64)
+    step = _build_dm_step("ConvNet3D", 3, C_, IM, F_, ipc=1, batch_real=B_,
+                          lr_img=1.0, compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    clips = rng.integers(0, 255, (C_ * B_, F_ * IM[0] * IM[1] * 3),
+                         dtype=np.uint8)
+    idx = rng.permutation(C_ * B_).reshape(C_, B_).astype(np.int32)
+    syn = rng.normal(size=(C_, F_, IM[0], IM[1], 3)).astype(np.float32)
+    stats = np.full((3,), 127.5, np.float32)
+
+    def run(place_idx, place_clips):
+        s, m, loss = step(jax.random.PRNGKey(0), jnp.asarray(syn),
+                          jnp.zeros_like(jnp.asarray(syn)),
+                          place_clips(clips), place_idx(idx),
+                          jnp.asarray(stats), jnp.asarray(stats))
+        return np.asarray(s), float(loss)
+
+    s_rep, loss_rep = run(jnp.asarray, jnp.asarray)
+    s_sh, loss_sh = run(shard_divisible, replicate_array)
+    np.testing.assert_allclose(loss_sh, loss_rep, rtol=1e-5)
+    np.testing.assert_allclose(s_sh, s_rep, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_buffer_epoch_runs():
+    """One expert-buffer training epoch over the mesh (plan sharded over
+    the padded batch axis)."""
+    from video_distillation_tpu.config import BufferConfig
+    from video_distillation_tpu.data import make_synthetic_video_data
+    from video_distillation_tpu.distill.buffer import train_expert
+
+    data = make_synthetic_video_data(num_classes=3, clips_per_class=7,
+                                     test_per_class=2, frames=8,
+                                     im_size=(64, 64), seed=0,
+                                     name="shard-buf")
+    cfg = BufferConfig(dataset="shard-buf", num_experts=1, train_epochs=2,
+                       batch_train=12,  # 12 % 8 != 0 -> padded to 16
+                       frames=8, compute_dtype="float32")
+    traj, acc = train_expert(jax.random.PRNGKey(0), data.train, cfg,
+                             np.random.default_rng(0))
+    assert traj.shape[0] == 3  # init + 2 epochs
+    assert np.isfinite(traj).all()
+    assert 0.0 <= acc <= 1.0

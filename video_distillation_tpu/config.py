@@ -64,6 +64,9 @@ class DistillConfig:
     eval_it: int = 500
     epoch_eval_train: int = 500
     startIt: int = 0
+    # train all num_eval nets in ONE vmapped scan (identical per-net
+    # semantics, ~num_eval x eval throughput on TPU)
+    vmap_eval: bool = True
 
     # TPU execution
     mesh_shape: Tuple[int, ...] = (1,)   # data-parallel devices

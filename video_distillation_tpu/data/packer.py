@@ -64,6 +64,44 @@ def read_ucf_csv(root: str, csv_name: str, split: str):
     return videos, labels, classes
 
 
+def read_ucf_max_csv(root: str, split: str,
+                     csv_name: str = "ucf50_splits1_max.csv"):
+    """staticUCF50 feature-based temporal segment splits
+    (dataset.py:739-782): CSV rows carry a ``split_index`` column with the
+    segment boundary frames (a stringified int list) per video."""
+    data_path = osp.join(root, "jpegs_112")
+    videos, label_strs, seg_lists = [], [], []
+    with open(osp.join(root, csv_name)) as fp:
+        for item in csv.DictReader(fp):
+            if item["split"] != split:
+                continue
+            videos.append(osp.join(data_path, item["folder_name"]))
+            label_strs.append(item["label"])
+            si = item["split_index"].strip("][").split(", ")
+            seg_lists.append(sorted(int(i) for i in si))
+    classes = sorted(set(label_strs))
+    class_2_idx = {x: i for i, x in enumerate(classes)}
+    labels = [class_2_idx[s] for s in label_strs]
+    return videos, labels, classes, seg_lists
+
+
+def segment_start_range(split_mode: str, split_id: int, split_num: int,
+                        length: int, seg: Sequence[int]) -> Tuple[int, int]:
+    """1-indexed [lo, hi) random-start bounds for one temporal segment
+    (dataset.py:820-830). 'mean' slices the video evenly; 'feature' uses
+    the per-video boundary frames from the max-csv."""
+    if split_mode == "mean":
+        return (length // split_num * split_id + 1,
+                length // split_num * (split_id + 1))
+    if split_mode != "feature":
+        raise ValueError(f"unknown split_mode: {split_mode}")
+    if split_id == 0:
+        return 1, seg[0] + 1
+    if split_id == split_num - 1:
+        return seg[split_num - 2] + 1, length
+    return seg[split_id - 1] + 1, seg[split_id] + 1
+
+
 def read_kinetics_csv(root: str, split: str, num_frames: int):
     """K400 CSV with replacement-dir fallback (dataset.py:96-128)."""
     csv_split = "validate" if split == "val" else split
@@ -163,11 +201,51 @@ def pack_test_frames(videos: Sequence[str], labels: Sequence[int],
                             meta)
 
 
+def pack_static_segments(videos: Sequence[str], labels: Sequence[int],
+                         seg_lists: Sequence[Sequence[int]],
+                         meta: DatasetMeta, rng: np.random.Generator,
+                         split_mode: str, split_id: int,
+                         split_num: int = 4) -> ClipStore:
+    """staticUCF50 segment variant: one random frame drawn INSIDE the
+    video's temporal segment ``split_id``, repeated F times ("boring
+    video") — dataset.py:783-833."""
+    F = meta.frames
+    clips = np.empty((len(videos), F) + meta.im_size + (3,), np.uint8)
+    for vi, d in enumerate(videos):
+        length = len(os.listdir(d))
+        lo, hi = segment_start_range(split_mode, split_id, split_num,
+                                     length, seg_lists[vi])
+        lo = max(1, min(lo, length))
+        hi = max(lo + 1, min(hi, length + 1))
+        start1 = int(rng.integers(lo, hi))  # 1-indexed frame number
+        frame = _load_frame(
+            osp.join(d, "frame%06d.jpg" % start1), meta.im_size)
+        clips[vi] = frame[None]
+    return ClipStore(clips, np.asarray(labels, np.int32), meta)
+
+
 def pack_dataset(dataset: str, data_path: str, out_root: str,
-                 seed: int = 0) -> str:
-    """Pack a reference-layout dataset; returns the packed dir path."""
+                 seed: int = 0, split_mode: str = None,
+                 split_id: int = 0, split_num: int = 4) -> str:
+    """Pack a reference-layout dataset; returns the packed dir path.
+
+    ``split_mode`` ('mean' | 'feature') activates the staticUCF50 temporal
+    segment variant: the static frame is drawn from segment ``split_id``
+    of each video (feature mode needs ucf50_splits1_max.csv)."""
     meta = get_meta(dataset)
     rng = np.random.default_rng(seed)
+
+    if dataset == "staticUCF50" and split_mode is not None:
+        root = osp.join(data_path, "UCF101")
+        trv, trl, _, trseg = read_ucf_max_csv(root, "train")
+        tev, tel, _, _ = read_ucf_max_csv(root, "test")
+        train = pack_static_segments(trv, trl, trseg, meta, rng,
+                                     split_mode, split_id, split_num)
+        test = pack_test_frames(tev, tel, meta, naming="ucf")
+        out = osp.join(out_root,
+                       f"{dataset}_{split_mode}{split_id}_packed")
+        save_packed(out, VideoData(meta=meta, train=train, test=test))
+        return out
 
     if dataset in ("UCF101", "miniUCF101", "staticUCF50", "staticUCF101"):
         root = osp.join(data_path, "UCF101")

@@ -28,6 +28,7 @@ from jax.flatten_util import ravel_pytree
 from ..config import BufferConfig
 from ..data.store import ClipStore, VideoData
 from ..models.registry import create_model
+from ..parallel import mesh_size, pad_and_shard_plan, replicate_array
 from .mtt import TrajectoryBuffer
 
 
@@ -120,12 +121,15 @@ def train_expert(key, store: ClipStore, cfg: BufferConfig,
 
     n = len(store)
     batch = min(cfg.batch_train, n)
+    # pad the batch so the epoch scan's batch axis shards evenly over the
+    # mesh (-1 sentinels are masked out of loss/accuracy)
+    batch += (-batch) % mesh_size()
     nb = _cdiv(n, batch)
     epoch_fn = _build_epoch_fn(cfg.model, meta.channel, meta.num_classes,
                                tuple(meta.im_size), cfg.frames, batch, nb,
                                cfg.mom, cfg.l2, True, cfg.compute_dtype)
-    clips_dev = store.device_clips()
-    labels_dev = jnp.asarray(store.labels)
+    clips_dev = replicate_array(store.device_clips())
+    labels_dev = replicate_array(store.labels)
     norm_mean = jnp.asarray(meta.mean, jnp.float32) * 255.0
     norm_std = jnp.asarray(meta.std, jnp.float32) * 255.0
 
@@ -138,7 +142,7 @@ def train_expert(key, store: ClipStore, cfg: BufferConfig,
         pad = nb * batch - n
         if pad:
             perm = np.concatenate([perm, np.full(pad, -1, perm.dtype)])
-        plan = jnp.asarray(perm.reshape(nb, batch).astype(np.int32))
+        plan = pad_and_shard_plan(perm.reshape(nb, batch).astype(np.int32))
         ek = jax.random.fold_in(key, e + 1)
         params, mom, loss, acc = epoch_fn(params, mom, clips_dev,
                                           labels_dev, plan, lr, ek,

@@ -52,15 +52,16 @@ def _build_dc_step(model_name: str, channel: int, num_classes: int,
         logp = jax.nn.log_softmax(logits, axis=-1)
         return -jnp.take_along_axis(logp, y[:, None], axis=-1).mean()
 
-    def step(key, syn_images, syn_labels, mom, clips_u8, real_idx,
-             norm_mean, norm_std):
-        """One DC outer iteration (outer_loop=1 slice; callers loop for
-        larger ipc). real_idx: (C, batch_real)."""
-        k_init, k_net = jax.random.split(jax.random.fold_in(key, 0))
-        sample = syn_images[:1]
-        params = model_def.init({"params": k_init, "dropout": k_init},
+    def init_net(key, sample):
+        params = model_def.init({"params": key, "dropout": key},
                                 sample, train=False)["params"]
+        return params, jax.tree.map(jnp.zeros_like, params)
 
+    def match_step(params, syn_images, syn_labels, mom, clips_u8,
+                   real_idx, norm_mean, norm_std):
+        """One DC outer (gradient-matching) step against the CURRENT net
+        params; the net is NOT re-initialised here — it persists and is
+        trained between outer steps (canonical DC semantics)."""
         real = clips_u8[real_idx.reshape(-1)].reshape(
             (num_classes, batch_real) + im_size + (channel,))
         real = ((real.astype(jnp.float32) - norm_mean) / norm_std)
@@ -84,9 +85,11 @@ def _build_dc_step(model_name: str, channel: int, num_classes: int,
         grads = grads.reshape(syn_images.shape)
         mom = 0.5 * mom + grads
         syn_images = syn_images - lr_img * mom
+        return syn_images, mom, loss
 
-        # inner loop: train the net on the synthetic set (plain SGD,
-        # momentum 0.5/wd 5e-4 per DC's epoch())
+    def inner_train(params, net_mom, syn_images, syn_labels):
+        """inner_loop SGD steps training the net on the synthetic set
+        (plain SGD momentum 0.5, per DC's epoch())."""
         def inner(carry, i):
             p, m = carry
             g = jax.grad(ce)(p, syn_images, syn_labels)
@@ -94,13 +97,12 @@ def _build_dc_step(model_name: str, channel: int, num_classes: int,
             p = jax.tree.map(lambda pp, mm: pp - lr_net * mm, p, m)
             return (p, m), None
 
-        if inner_loop > 0:
-            net_mom = jax.tree.map(jnp.zeros_like, params)
-            (params, _), _ = jax.lax.scan(inner, (params, net_mom),
-                                          jnp.arange(inner_loop))
-        return syn_images, mom, loss
+        (params, net_mom), _ = jax.lax.scan(inner, (params, net_mom),
+                                            jnp.arange(inner_loop))
+        return params, net_mom
 
-    return jax.jit(step, donate_argnums=(1, 3))
+    return (jax.jit(init_net), jax.jit(match_step, donate_argnums=(1, 3)),
+            jax.jit(inner_train, donate_argnums=(0, 1)))
 
 
 def make_dc_trainer(store: ClipStore, model_name: str, ipc: int,
@@ -109,21 +111,29 @@ def make_dc_trainer(store: ClipStore, model_name: str, ipc: int,
     """DC trainer over an image ClipStore (clips shaped (N,H,W,C))."""
     meta = store.meta
     outer_loop, inner_loop = get_loops(ipc)
-    step_fn = _build_dc_step(model_name, meta.channel, meta.num_classes,
-                             tuple(meta.im_size), ipc, batch_real, lr_img,
-                             lr_net, inner_loop, dis_metric)
+    init_fn, match_fn, inner_fn = _build_dc_step(
+        model_name, meta.channel, meta.num_classes, tuple(meta.im_size),
+        ipc, batch_real, lr_img, lr_net, inner_loop, dis_metric)
     clips_dev = store.device_clips()
     norm_mean = jnp.asarray(meta.mean, jnp.float32) * 255.0
     norm_std = jnp.asarray(meta.std, jnp.float32) * 255.0
 
     def step(key, syn_images, syn_labels, mom, np_rng):
+        # ONE fresh net per iteration; it persists across the outer_loop
+        # steps and is trained on the synthetic set between them (not after
+        # the last — the canonical DC schedule)
+        params, net_mom = init_fn(jax.random.fold_in(key, 0),
+                                  syn_images[:1])
         loss_total = 0.0
         for ol in range(outer_loop):
             idx = jnp.asarray(store.sample_per_class(np_rng, batch_real))
-            syn_images, mom, loss = step_fn(
-                jax.random.fold_in(key, ol), syn_images, syn_labels, mom,
-                clips_dev, idx, norm_mean, norm_std)
+            syn_images, mom, loss = match_fn(
+                params, syn_images, syn_labels, mom, clips_dev, idx,
+                norm_mean, norm_std)
             loss_total += float(loss)
+            if inner_loop > 0 and ol < outer_loop - 1:
+                params, net_mom = inner_fn(params, net_mom, syn_images,
+                                           syn_labels)
         return syn_images, mom, loss_total / max(1, outer_loop)
 
     return step

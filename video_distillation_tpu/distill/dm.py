@@ -29,6 +29,7 @@ import numpy as np
 
 from ..data.store import ClipStore
 from ..models.registry import create_model
+from ..parallel import replicate_array, shard_divisible
 from .s2d import S2DConfig, distill_slots, hallucinate
 
 
@@ -113,12 +114,15 @@ def make_dm_trainer(store: ClipStore, model_name: str, ipc: int,
     step_fn = _build_dm_step(model_name, meta.channel, meta.num_classes,
                              tuple(meta.im_size), frames, ipc, batch_real,
                              lr_img, compute_dtype)
-    clips_dev = store.device_clips()
+    # clips replicated over the mesh; the (C, B) real index sharded over
+    # whichever axis divides it — XLA partitions the batched embed and
+    # psums the synthetic gradient over ICI
+    clips_dev = replicate_array(store.device_clips())
     norm_mean = jnp.asarray(meta.mean, jnp.float32) * 255.0
     norm_std = jnp.asarray(meta.std, jnp.float32) * 255.0
 
     def step(key, state: DMState, np_rng: np.random.Generator):
-        idx = jnp.asarray(store.sample_per_class(np_rng, batch_real))
+        idx = shard_divisible(store.sample_per_class(np_rng, batch_real))
         syn, mom, loss = step_fn(key, state.syn_images, state.momentum,
                                  clips_dev, idx, norm_mean, norm_std)
         # loss stays on device — fetching per-iteration costs a full relay
@@ -215,12 +219,12 @@ def make_s2d_dm_trainer(store: ClipStore, model_name: str,
                                  tuple(meta.im_size), frames, s2d_items,
                                  batch_real, lr_static, lr_dynamic, lr_hal,
                                  train_static, compute_dtype)
-    clips_dev = store.device_clips()
+    clips_dev = replicate_array(store.device_clips())
     norm_mean = jnp.asarray(meta.mean, jnp.float32) * 255.0
     norm_std = jnp.asarray(meta.std, jnp.float32) * 255.0
 
     def step(key, s2d_state, moms, np_rng: np.random.Generator):
-        idx = jnp.asarray(store.sample_per_class(np_rng, batch_real))
+        idx = shard_divisible(store.sample_per_class(np_rng, batch_real))
         return step_fn(key, s2d_state, moms, clips_dev, idx, norm_mean,
                        norm_std)
 

@@ -5,9 +5,9 @@
 Protocol reproduced exactly:
 * fresh randomly-initialised net per evaluation (explicit PRNGKey instead of
   the reference's wall-clock torch seed, utils.py:519)
-* SGD(lr_net, momentum 0.9, weight_decay 5e-4); LR x0.1 at Epoch//2+1 with
-  the momentum buffer reset (the reference *recreates* the optimizer at the
-  drop, utils.py:874-877)
+* SGD(lr_net, momentum 0.9, weight_decay 5e-4); LR x0.1 AFTER epoch
+  Epoch//2+1 with the momentum buffer reset (the reference *recreates* the
+  optimizer once that epoch has trained, utils.py:848,871-874)
 * per-batch standardisation ``(img - img.mean()) / img.std()`` with scalar
   batch statistics (utils.py:770, :799) — applied on top of the dataset
   ImageNet normalisation
@@ -69,6 +69,9 @@ class EvalConfig:
     optimizer: str = "sgd_momentum"   # 'sgd_momentum' | 'adamw'
     loss: str = "ce"                  # 'ce' | 'mse'
     standardize: bool = True
+    # FRePo JAX path evaluates the debiased EMA of the trained params
+    # (EMA(decay=0.995) in train_on_proto, frepo.py:252-276); 0 disables
+    ema_decay: float = 0.0
 
 
 def _cdiv(a, b):
@@ -207,9 +210,12 @@ def _build_train_fn(model_name: str, channel: int, num_classes: int,
             lr_steps = cfg.lr_net * warm * cos
             reset_steps = jnp.zeros(steps, bool)
         else:
-            lr_steps = jnp.where(epoch_of_step >= drop_epoch,
+            # the reference trains epoch Epoch//2+1 at full lr and only
+            # recreates the optimizer AFTER it (utils.py:848,871-874), so
+            # the first reduced-lr epoch is drop_epoch+1
+            lr_steps = jnp.where(epoch_of_step > drop_epoch,
                                  cfg.lr_net * 0.1, cfg.lr_net)
-            reset_steps = (epoch_of_step == drop_epoch) & \
+            reset_steps = (epoch_of_step == drop_epoch + 1) & \
                           (jnp.arange(steps) % nb == 0)
 
         def loss_fn(p, x, y, w, dropout_key):
@@ -229,7 +235,7 @@ def _build_train_fn(model_name: str, channel: int, num_classes: int,
             return loss, correct
 
         def step(carry, inp):
-            params, mom = carry
+            params, mom, ema = carry
             idx, lr, reset, step_i = inp
             w = (idx >= 0).astype(jnp.float32)
             safe = jnp.maximum(idx, 0)
@@ -268,14 +274,24 @@ def _build_train_fn(model_name: str, channel: int, num_classes: int,
             else:
                 params, mom = _torch_sgd(params, grads, mom, lr, 0.9, 5e-4,
                                          reset)
-            return (params, mom), (loss, correct, jnp.sum(w))
+            if cfg.ema_decay > 0:
+                ema = jax.tree.map(
+                    lambda h, p: cfg.ema_decay * h +
+                    (1 - cfg.ema_decay) * p, ema, params)
+            return (params, mom, ema), (loss, correct, jnp.sum(w))
 
         if cfg.optimizer == "adamw":
             mom = (jax.tree.map(jnp.zeros_like, params),
                    jax.tree.map(jnp.zeros_like, params))
-        (params, _), (losses, corrects, counts) = jax.lax.scan(
-            step, (params, mom),
+        ema0 = jax.tree.map(jnp.zeros_like, params) \
+            if cfg.ema_decay > 0 else 0
+        (params, _, ema), (losses, corrects, counts) = jax.lax.scan(
+            step, (params, mom, ema0),
             (batch_idx, lr_steps, reset_steps, jnp.arange(steps)))
+        if cfg.ema_decay > 0:
+            # debiased average (EMA(debias=True), training/utils.py:51-169)
+            bias = 1.0 - cfg.ema_decay ** steps
+            params = jax.tree.map(lambda h: h / bias, ema)
         # final-epoch train accuracy (reference returns the last epoch's)
         acc_train = jnp.sum(corrects[-nb:]) / jnp.sum(counts[-nb:])
         return params, acc_train, losses[-1]
@@ -353,13 +369,21 @@ def sample_test_batches(data: VideoData, cfg: EvalConfig,
     num_eval models keeps the host->device traffic to test_repeats
     uploads instead of num_eval x test_repeats (statistically identical:
     the crops are i.i.d. either way — see PARITY.md)."""
+    from ..parallel import get_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = get_mesh()
+    if mesh.devices.size > 1 and TEST_BATCH % mesh.devices.size == 0:
+        sh = NamedSharding(mesh, P(None, "data"))  # (nb, B, ...) over B
+        put = lambda a: jax.device_put(a, sh)  # noqa: E731
+    else:
+        put = jax.device_put
     batches = []
     for _ in range(cfg.test_repeats):
         clips = data.test.sample_clips(test_rng,
                                        flip=data.meta.frames > 1)
         cb, lb, wb = _stack_test_batches(clips, data.test.labels)
-        batches.append((jax.device_put(cb), jax.device_put(lb),
-                        jax.device_put(wb)))
+        batches.append((put(cb), put(lb), put(wb)))
     return batches
 
 
@@ -428,9 +452,10 @@ def evaluate_many(base_key, num_eval: int, syn_images, syn_labels,
     shares each test pass across them — a TPU-native batching of the
     protocol (identical per-net semantics; fresh nets = fresh keys).
     """
-    if vmap_eval and cfg.mode == "none":
+    if vmap_eval:
         return _evaluate_many_vmapped(base_key, num_eval, syn_images,
-                                      syn_labels, data, cfg, test_rng)
+                                      syn_labels, data, cfg, test_rng,
+                                      s2d_cfg=s2d_cfg, s2d_state=s2d_state)
     results = []
     test_batches = sample_test_batches(data, cfg, test_rng)
     for i in range(num_eval):
@@ -445,18 +470,31 @@ def evaluate_many(base_key, num_eval: int, syn_images, syn_labels,
 
 def _evaluate_many_vmapped(base_key, num_eval, syn_images, syn_labels,
                            data: VideoData, cfg: EvalConfig,
-                           test_rng: np.random.Generator):
+                           test_rng: np.random.Generator,
+                           s2d_cfg: Optional[S2DConfig] = None,
+                           s2d_state=None):
     meta = data.meta
-    n_syn = int(syn_images.shape[0])
-    labels_arg = (jnp.asarray(syn_labels, jnp.float32)
-                  if cfg.loss == "mse"
-                  else jnp.asarray(syn_labels, jnp.int32))
+    if cfg.mode == "multi-static":
+        # S2D: vmap over fresh net keys with the (frozen) synthetic state
+        # broadcast — trains all num_eval nets in one compiled scan
+        assert s2d_cfg is not None and s2d_state is not None
+        n_syn = s2d_cfg.num_classes * (5 if s2d_cfg.spc == 10 else 1)
+        s2d_key = tuple(sorted(dataclasses.asdict(s2d_cfg).items()))
+        syn_arg = s2d_state
+        labels_arg = jnp.zeros((n_syn,), jnp.int32)
+    else:
+        n_syn = int(syn_images.shape[0])
+        s2d_key = None
+        syn_arg = syn_images
+        labels_arg = (jnp.asarray(syn_labels, jnp.float32)
+                      if cfg.loss == "mse"
+                      else jnp.asarray(syn_labels, jnp.int32))
     train_fn, _ = _build_train_fn(
         cfg.model, meta.channel, meta.num_classes, tuple(meta.im_size),
-        meta.frames, n_syn, cfg, None)
+        meta.frames, n_syn, cfg, s2d_key)
     keys = jax.random.split(base_key, num_eval)
     params, acc_train, _ = jax.vmap(
-        train_fn, in_axes=(0, None, None))(keys, syn_images, labels_arg)
+        train_fn, in_axes=(0, None, None))(keys, syn_arg, labels_arg)
 
     test_fn, _ = _build_test_fn(cfg.model, meta.channel, meta.num_classes,
                                 tuple(meta.im_size), meta.frames,

@@ -122,6 +122,22 @@ class ModelPool:
         return self.model_def.init({"params": k, "dropout": k}, self.sample,
                                    train=False)["params"]
 
+    def state_dict(self):
+        """Checkpointable pytree of the whole pool (the reference never
+        checkpoints its pool — resume there restarts it; here resume is
+        exact)."""
+        return [{"params": el["params"], "opt": el["opt"],
+                 "step": np.asarray(el["step"]), "key": el["key"]}
+                for el in self.elements]
+
+    def load_state_dict(self, sd):
+        assert len(sd) == len(self.elements)
+        for el, s in zip(self.elements, sd):
+            el["params"] = jax.tree.map(jnp.asarray, s["params"])
+            el["opt"] = jax.tree.map(jnp.asarray, s["opt"])
+            el["step"] = int(s["step"])
+            el["key"] = jnp.asarray(s["key"])
+
     def sample_idx(self, np_rng: np.random.Generator) -> int:
         return int(np_rng.integers(0, self.cfg.num_nn_state))
 
@@ -131,9 +147,10 @@ class ModelPool:
         bs = min(500, n)
         sel = (np.arange(n) if n <= bs
                else np_rng.choice(n, size=bs, replace=False))
+        drop_key = jax.random.fold_in(el["key"], el["step"])
         el["params"], el["opt"] = train_step_fn(
             el["params"], el["opt"], x_syn[jnp.asarray(sel)],
-            y_syn[jnp.asarray(sel)])
+            y_syn[jnp.asarray(sel)], drop_key)
         el["step"] += 1
         if el["step"] >= self.cfg.max_online_updates:
             el["key"] = jax.random.fold_in(el["key"], 7)
@@ -227,11 +244,18 @@ def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
                  "y_syn": jnp.asarray(y_syn)}
         static_frozen = None
 
-    # Adam param groups: lr_d for dynamic, lr_h for the rest, both cosine
-    # annealed (eta_min = 0.1x lr_h per synsch — distill_s2d.py:272)
+    # Adam param groups: lr_d for dynamic, lr_h for the rest. torch
+    # CosineAnnealingLR(synopt, eta_min=lr_h*0.1) anneals EVERY group to the
+    # same absolute floor 0.1*lr_h (distill_s2d.py:272) — so the dynamic
+    # group (lr_d ~ 1e3) ends at ~1e-4, not 0.1*lr_d
     def cosine(lr):
-        return optax.cosine_decay_schedule(lr, cfg.Iteration,
-                                           alpha=0.1)
+        eta_min = 0.1 * cfg.lr_h
+
+        def sched(t):
+            frac = jnp.minimum(t, cfg.Iteration) / cfg.Iteration
+            return eta_min + (lr - eta_min) * 0.5 * (
+                1 + jnp.cos(jnp.pi * frac))
+        return sched
 
     labels_map = ({"dynamic": "d", "hals": "h", "y_syn": "h"} if cfg.s2d
                   else {"x_proto": "d", "y_syn": "h"})
@@ -294,9 +318,12 @@ def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
     pool = ModelPool(k_pool, model_def, cfg, sample_shape)
 
     @jax.jit
-    def pool_train_step(params, opt, x, y):
+    def pool_train_step(params, opt, x, y, drop_key):
+        # pool nets train in train mode (model.train() in the reference —
+        # distill_s2d.py:153 — so dropout is active)
         def loss_fn(p):
-            out = model_def.apply({"params": p}, x, train=False)
+            out = model_def.apply({"params": p}, x, train=True,
+                                  rngs={"dropout": drop_key})
             return jnp.mean((out - y) ** 2)
 
         grads = jax.grad(loss_fn)(params)

@@ -8,18 +8,45 @@ artifacts on new bests.
 
 from __future__ import annotations
 
+import argparse
+import dataclasses
 import os
 from typing import Callable, Dict, Optional
 
 import jax
 import numpy as np
 
-from ..config import DistillConfig
+from ..config import DistillConfig, get_preset
 from ..data import load_packed, make_synthetic_video_data
 from ..data.store import VideoData
 from ..distill.evaluate import EvalConfig, evaluate_many
 from ..models.registry import get_eval_pool
 from ..utils.logging import MetricLogger
+
+
+def parse_config_args(description: str, argv=None,
+                      default_preset: Optional[str] = None) -> DistillConfig:
+    """Field-driven CLI over DistillConfig: --preset picks the named config,
+    any --<field> overrides it (mirrors the reference sh/ wrappers passing
+    "$@" through to argparse). Unknown flags are argparse errors, never
+    silently dropped."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--preset", type=str, default=default_preset)
+    for f in dataclasses.fields(DistillConfig):
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(f"--{f.name}", type=lambda s: s.lower() == "true",
+                           default=None)
+        elif f.name != "mesh_shape":
+            p.add_argument(f"--{f.name}",
+                           type=type(f.default) if f.default is not None
+                           else str, default=None)
+    args = p.parse_args(argv)
+    cfg = get_preset(args.preset) if args.preset else DistillConfig()
+    for f in dataclasses.fields(DistillConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            setattr(cfg, f.name, v)
+    return cfg
 
 
 def load_data(cfg) -> VideoData:
@@ -86,7 +113,8 @@ class EvalTracker:
             _, mean, std = evaluate_many(
                 jax.random.fold_in(key, it), cfg.num_eval, syn_images,
                 syn_labels, self.data, ecfg, self.test_rng,
-                s2d_cfg=s2d_cfg, s2d_state=s2d_state)
+                s2d_cfg=s2d_cfg, s2d_state=s2d_state,
+                vmap_eval=getattr(cfg, "vmap_eval", False))
             if mean > self.best_acc[model_eval]:
                 self.best_acc[model_eval] = mean
                 self.best_std[model_eval] = std

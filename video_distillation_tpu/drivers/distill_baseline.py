@@ -10,37 +10,22 @@ Supports full-state resume (orbax) — which the torch driver lacks.
 
 from __future__ import annotations
 
-import argparse
-import dataclasses
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DistillConfig, get_preset
+from ..config import DistillConfig
 from ..distill.buffer import load_buffers
 from ..distill.dm import DMState, init_synthetic_raw, make_dm_trainer
 from ..distill.mtt import ExpertSampler, _build_mtt_step, make_batch_plan
+from ..parallel import pad_and_shard_plan
 from ..utils.checkpoint import restore_state, save_artifact, save_state
 from ..utils.logging import MetricLogger, StepTimer
-from .common import EvalTracker, load_data
+from .common import EvalTracker, load_data, parse_config_args
 
 
-def _mtt_plan_sharding(batch_syn: int):
-    """Shard the (syn_steps, batch_syn) index plan over the data axis when
-    multiple devices are visible — XLA then partitions the whole inner
-    unroll (batch dim) and psums parameter gradients over ICI
-    (SURVEY.md §2.3: the TPU-native replacement for nn.DataParallel)."""
-    import jax as _jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from ..parallel import make_mesh
-
-    n_dev = len(_jax.devices())
-    if n_dev > 1 and batch_syn % n_dev == 0:
-        return NamedSharding(make_mesh(), P(None, "data"))
-    return None
 
 
 def run_dm(cfg: DistillConfig, data, logger: MetricLogger):
@@ -103,7 +88,6 @@ def run_mtt(cfg: DistillConfig, data, logger: MetricLogger):
                               tuple(meta.im_size), cfg.frames,
                               cfg.syn_steps, cfg.lr_img, cfg.lr_lr,
                               cfg.train_lr, cfg.compute_dtype)
-    plan_sharding = _mtt_plan_sharding(batch_syn)
     syn_lr = jnp.asarray(float(cfg.lr_teacher))
     mom_img = jnp.zeros_like(syn)
     mom_lr = jnp.zeros(())
@@ -139,10 +123,10 @@ def run_mtt(cfg: DistillConfig, data, logger: MetricLogger):
                                holder["syn"], labels, float(syn_lr))
         theta0, theta1, start_epoch = sampler.sample_segment(
             cfg.max_start_epoch, cfg.expert_epochs)
-        plan = jnp.asarray(make_batch_plan(rng, n_syn, batch_syn,
-                                           cfg.syn_steps))
-        if plan_sharding is not None:
-            plan = jax.device_put(plan, plan_sharding)
+        # plan sharded over the batch axis (padded with masked -1 entries,
+        # never silently replicated)
+        plan = pad_and_shard_plan(make_batch_plan(rng, n_syn, batch_syn,
+                                                  cfg.syn_steps))
         out = step_fn(jax.random.fold_in(key, it), holder["syn"], labels,
                       syn_lr, mom_img, mom_lr, jnp.asarray(theta0),
                       jnp.asarray(theta1), plan)
@@ -161,23 +145,7 @@ def run_mtt(cfg: DistillConfig, data, logger: MetricLogger):
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description="DM/MTT baseline distillation")
-    p.add_argument("--preset", type=str, default=None)
-    for f in dataclasses.fields(DistillConfig):
-        if f.type == "bool" or isinstance(f.default, bool):
-            p.add_argument(f"--{f.name}", type=lambda s: s.lower() == "true",
-                           default=None)
-        elif f.name != "mesh_shape":
-            p.add_argument(f"--{f.name}",
-                           type=type(f.default) if f.default is not None
-                           else str, default=None)
-    args = p.parse_args(argv)
-    cfg = get_preset(args.preset) if args.preset else DistillConfig()
-    for f in dataclasses.fields(DistillConfig):
-        v = getattr(args, f.name, None)
-        if v is not None:
-            setattr(cfg, f.name, v)
-
+    cfg = parse_config_args("DM/MTT baseline distillation", argv)
     data = load_data(cfg)
     logger = MetricLogger(log_dir=cfg.save_path,
                           run_name=f"{cfg.method}_{cfg.dataset}_ipc{cfg.ipc}")

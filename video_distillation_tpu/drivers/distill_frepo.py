@@ -1,16 +1,31 @@
 """FRePo S2D distillation driver (TPU rebuild of
-``/root/reference/FRePo/script/distill_s2d.py``)."""
+``/root/reference/FRePo/script/distill_s2d.py``).
+
+Beyond the torch port, this driver matches the JAX FRePo's extras
+(``FRePo/lib/datadistillation/frepo.py``):
+* full-state resume incl. the online model pool (``:451-454, :554-581`` —
+  the reference restores only the proto state; here the pool, optimizer and
+  host RNG resume exactly)
+* KRR (least-norm) evaluation in the loop alongside the NN evaluation
+  (``:330-340, :530-549`` log both)
+* NN evaluation uses the debiased param-EMA of the trained eval net
+  (``train_on_proto``, ``:252-276``)
+"""
 
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import DistillConfig
 from ..distill.evaluate import EvalConfig, evaluate_many
-from ..distill.frepo import FRePoConfig, frepo_labels, make_frepo_trainer
+from ..distill.frepo import (FRePoConfig, krr_evaluate, make_frepo_trainer)
+from ..utils.checkpoint import (restore_state, save_artifact,
+                                save_pytree_artifact, save_state)
 from ..utils.logging import MetricLogger, StepTimer
 from .common import load_data
 
@@ -29,11 +44,14 @@ def main(argv=None):
     p.add_argument("--max_online_updates", type=int, default=100)
     p.add_argument("--Iteration", type=int, default=10000)
     p.add_argument("--eval_it", type=int, default=2000)
+    p.add_argument("--ckpt_it", type=int, default=1000)
     p.add_argument("--num_eval", type=int, default=3)
     p.add_argument("--epoch_eval_train", type=int, default=500)
     p.add_argument("--batch_train", type=int, default=256)
+    p.add_argument("--eval_ema_decay", type=float, default=0.995)
     p.add_argument("--learn_label", action="store_true")
     p.add_argument("--data_path", default="data")
+    p.add_argument("--save_path", default="./logged_files")
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--path_static", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -54,33 +72,74 @@ def main(argv=None):
     carry, step, pool, compose_eval = make_frepo_trainer(
         data.train, args.model, cfg, key, static)
 
-    logger = MetricLogger(run_name=f"frepo_{args.dataset}")
+    save_dir = os.path.join(args.save_path, f"FRePo_{args.dataset}")
+    ckpt_dir = os.path.join(save_dir, "ckpt")
+    logger = MetricLogger(log_dir=args.save_path,
+                          run_name=f"frepo_{args.dataset}")
     np_rng = np.random.default_rng(args.seed)
     test_rng = np.random.default_rng(args.seed + 123)
     timer = StepTimer()
-    y_scale = float(np.sqrt(meta.num_classes / 10.0))
-    for it in range(1, cfg.Iteration + 1):
+
+    state, opt_state = carry
+    best_acc = 0.0
+    start_it = 1
+    restored = restore_state(ckpt_dir, {
+        "state": state, "opt_state": opt_state,
+        "pool": pool.state_dict(), "best_acc": np.zeros(())})
+    if restored is not None:
+        st, start_it, rng_state = restored
+        state = jax.tree.map(jnp.asarray, st["state"])
+        opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
+        pool.load_state_dict(st["pool"])
+        best_acc = float(st["best_acc"])
+        if rng_state:
+            np_rng.bit_generator.state = rng_state
+        start_it += 1
+        print(f"resumed FRePo run at iteration {start_it}")
+    carry = (state, opt_state)
+
+    def evaluate(it):
+        nonlocal best_acc
+        state = carry[0]
+        x_syn = compose_eval(jax.random.fold_in(key, -it), state)
+        y_syn = np.asarray(state["y_syn"])
+        # KRR (least-norm) accuracy against a random pool net's features
+        el = pool.elements[pool.sample_idx(np_rng)]
+        krr_acc = krr_evaluate(
+            pool.model_def, el["params"], x_syn, state["y_syn"],
+            data.test.sample_clips(test_rng, flip=meta.frames > 1),
+            data.test.labels, meta.mean, meta.std, reg=cfg.reg)
+        # NN accuracy: FRePo protocol (AdamW + MSE soft labels + param EMA)
+        ecfg = EvalConfig(model=args.model,
+                          epoch_eval_train=args.epoch_eval_train,
+                          lr_net=args.lr_net,
+                          batch_train=args.batch_train,
+                          optimizer="adamw", loss="mse",
+                          standardize=False, test_repeats=1,
+                          ema_decay=args.eval_ema_decay)
+        _, mean, std = evaluate_many(jax.random.fold_in(key, it),
+                                     args.num_eval, x_syn, y_syn, data,
+                                     ecfg, test_rng)
+        logger.log({"Accuracy": mean, "Std": std,
+                    "KRR_Accuracy": krr_acc}, step=it)
+        if mean > best_acc:
+            best_acc = mean
+            save_artifact(save_dir, "x_proto_best", x_syn)
+            save_pytree_artifact(save_dir, "state_best", state)
+
+    for it in range(start_it, cfg.Iteration + 1):
         carry, metrics = step(jax.random.fold_in(key, it), carry, np_rng)
         timer.tick()
         if it % 100 == 0:
             metrics["steps_per_sec"] = timer.rate()
             logger.log(metrics, step=it)
         if it % args.eval_it == 0:
-            # NN evaluation with the FRePo protocol (AdamW + MSE soft
-            # labels — lib_torch/utils.py:561-603)
-            state = carry[0]
-            x_syn = compose_eval(jax.random.fold_in(key, -it), state)
-            y_syn = np.asarray(state["y_syn"])
-            ecfg = EvalConfig(model=args.model,
-                              epoch_eval_train=args.epoch_eval_train,
-                              lr_net=args.lr_net,
-                              batch_train=args.batch_train,
-                              optimizer="adamw", loss="mse",
-                              standardize=False, test_repeats=1)
-            _, mean, std = evaluate_many(jax.random.fold_in(key, it),
-                                         args.num_eval, x_syn, y_syn, data,
-                                         ecfg, test_rng)
-            logger.log({"Accuracy": mean, "Std": std}, step=it)
+            evaluate(it)
+        if it % args.ckpt_it == 0:
+            save_state(ckpt_dir, {
+                "state": carry[0], "opt_state": carry[1],
+                "pool": pool.state_dict(),
+                "best_acc": np.asarray(best_acc)}, it, np_rng)
     logger.finish()
 
 

@@ -7,7 +7,6 @@ DM or MTT outer loss.
 
 from __future__ import annotations
 
-import argparse
 import dataclasses
 import os
 
@@ -15,14 +14,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DistillConfig, get_preset
+from ..config import DistillConfig
 from ..distill.buffer import load_buffers
 from ..distill.dm import init_s2d_momentum, make_s2d_dm_trainer
 from ..distill.mtt import ExpertSampler, _build_s2d_mtt_step, make_batch_plan
 from ..distill.s2d import S2DConfig, init_s2d_state
-from ..utils.checkpoint import restore_state, save_artifact, save_state
+from ..utils.checkpoint import (restore_state, save_artifact,
+                                save_pytree_artifact, save_state)
 from ..utils.logging import MetricLogger, StepTimer
-from .common import EvalTracker, load_data
+from .common import EvalTracker, load_data, parse_config_args
 
 
 def build_s2d(cfg: DistillConfig, meta):
@@ -48,14 +48,19 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
                             f"S2D_multis_{cfg.method}_{cfg.dataset}")
     ckpt_dir = os.path.join(save_dir, "ckpt")
     holder = {"state": state, "syn_lr": jnp.asarray(float(cfg.lr_teacher))}
+    mom_lr = jnp.zeros(())
     start_it = 0
     restored = restore_state(ckpt_dir, {"state": state, "moms": moms,
-                                        "syn_lr": holder["syn_lr"]})
+                                        "syn_lr": holder["syn_lr"],
+                                        "mom_lr": mom_lr})
     if restored is not None:
         st, start_it, rng_state = restored
         holder["state"] = jax.tree.map(jnp.asarray, st["state"])
         moms = jax.tree.map(jnp.asarray, st["moms"])
         holder["syn_lr"] = jnp.asarray(st["syn_lr"])
+        # mom_lr (the learnable-lr SGD momentum buffer) must round-trip for
+        # exact resume
+        mom_lr = jnp.asarray(st["mom_lr"])
         if rng_state:
             rng.bit_generator.state = rng_state
         start_it += 1
@@ -67,10 +72,17 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
             save_artifact(save_dir, f"images_{it}", st["static"])
         save_artifact(save_dir, f"dynamic_{it}",
                       st["dynamic"].reshape((-1,) + st["dynamic"].shape[2:]))
+        # the hallucinator is part of the distilled set — without it the
+        # output dir is not re-evaluable (hal_{it}.pt, distill_s2d_ms.py:
+        # 175-193)
+        save_pytree_artifact(save_dir, f"hal_{it}", st["hals"])
         if best:
             save_artifact(save_dir, "dynamic_best",
                           st["dynamic"].reshape((-1,) +
                                                 st["dynamic"].shape[2:]))
+            save_pytree_artifact(save_dir, "hal_best", st["hals"])
+            if not cfg.no_train_static:
+                save_artifact(save_dir, "images_best", st["static"])
 
     tracker = EvalTracker(cfg, data, logger, save_dir, save)
     timer = StepTimer()
@@ -95,7 +107,8 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
             if it % 1000 == 0 and it > 0:
                 save_state(ckpt_dir, {"state": holder["state"],
                                       "moms": moms,
-                                      "syn_lr": holder["syn_lr"]}, it, rng)
+                                      "syn_lr": holder["syn_lr"],
+                                      "mom_lr": mom_lr}, it, rng)
     elif cfg.method == "MTT":
         buffers = load_buffers(cfg.buffer_path)
         sampler = ExpertSampler(buffers, rng)
@@ -107,9 +120,7 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
             cfg.frames, cfg.syn_steps, s2d_items, cfg.lr_static,
             cfg.lr_dynamic, cfg.lr_hal, cfg.lr_lr,
             not cfg.no_train_static, cfg.train_lr, cfg.compute_dtype)
-        from .distill_baseline import _mtt_plan_sharding
-        plan_sharding = _mtt_plan_sharding(batch_syn)
-        mom_lr = jnp.zeros(())
+        from ..parallel import pad_and_shard_plan
         for it in range(start_it, cfg.Iteration + 1):
             if tracker.should_eval(it):
                 tracker.maybe_eval(
@@ -118,10 +129,8 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
                     s2d_state=holder["state"])
             theta0, theta1, start_epoch = sampler.sample_segment(
                 cfg.max_start_epoch, cfg.expert_epochs)
-            plan = jnp.asarray(make_batch_plan(rng, n_syn, batch_syn,
-                                               cfg.syn_steps))
-            if plan_sharding is not None:
-                plan = jax.device_put(plan, plan_sharding)
+            plan = pad_and_shard_plan(make_batch_plan(rng, n_syn, batch_syn,
+                                                      cfg.syn_steps))
             out = step_fn(jax.random.fold_in(key, it), holder["state"],
                           holder["syn_lr"], moms, mom_lr,
                           jnp.asarray(theta0), jnp.asarray(theta1), plan)
@@ -136,17 +145,16 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
             if it % 1000 == 0 and it > 0:
                 save_state(ckpt_dir, {"state": holder["state"],
                                       "moms": moms,
-                                      "syn_lr": holder["syn_lr"]}, it, rng)
+                                      "syn_lr": holder["syn_lr"],
+                                      "mom_lr": mom_lr}, it, rng)
     else:
         raise NotImplementedError(cfg.method)
     return holder
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description="S2D distillation")
-    p.add_argument("--preset", type=str, default="s2d_MTT_ms")
-    args, rest = p.parse_known_args(argv)
-    cfg = get_preset(args.preset)
+    cfg = parse_config_args("S2D distillation", argv,
+                            default_preset="s2d_MTT_ms")
     cfg.s2d = True
     data = load_data(cfg)
     logger = MetricLogger(log_dir=cfg.save_path,

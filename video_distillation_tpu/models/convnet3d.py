@@ -26,7 +26,8 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import TorchConv, activation, avg_pool, flatten, max_pool, norm_layer
+from .layers import (TemporalIm2ColConv, TorchConv, activation, avg_pool,
+                     flatten, max_pool, norm_layer)
 
 
 class ConvNet3D(nn.Module):
@@ -47,12 +48,17 @@ class ConvNet3D(nn.Module):
         act = activation(self.net_act)
         for d in range(self.net_depth):
             feats = 64 if d == 0 else self.net_width
-            x = TorchConv(
-                features=feats,
-                kernel_size=(3, 7, 7),
-                strides=(1, 2, 2),
-                padding=((1, 1), (3, 3), (3, 3)),
-            )(x)
+            if d == 0:
+                # first layer as temporal-im2col conv2d: identical math,
+                # ~3x faster backward on TPU at C_in=3 (see layers.py)
+                x = TemporalIm2ColConv(features=feats)(x)
+            else:
+                x = TorchConv(
+                    features=feats,
+                    kernel_size=(3, 7, 7),
+                    strides=(1, 2, 2),
+                    padding=((1, 1), (3, 3), (3, 3)),
+                )(x)
             norm = norm_layer(self.net_norm, channels=feats, spatial_rank=3,
                               train=train)
             if norm is not None:

@@ -71,6 +71,46 @@ class TorchConv(nn.Module):
         )(x)
 
 
+class TemporalIm2ColConv(nn.Module):
+    """Conv3d k=(3,7,7) s=(1,2,2) p=(1,3,3) expressed as a temporal im2col
+    (stack the t-1/t/t+1 frames into channels) followed by a 2-D conv.
+
+    Mathematically identical to the direct 3-D convolution (same dot
+    products, same torch-default init); on TPU the 3-D backward for a
+    3-channel first layer is ~3x slower than this 2-D formulation (XLA's
+    conv3d dgrad/wgrad tile poorly at C_in=3), so ConvNet3D's first layer
+    uses this. Kernel is stored in DHWIO layout like nn.Conv's so weight
+    ports from the torch reference transpose identically.
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, F, H, W, C)
+        B, F, H, W, C = x.shape
+        fan_in = C * 3 * 7 * 7
+        kernel = self.param("kernel", torch_kaiming_uniform(),
+                            (3, 7, 7, C, self.features))
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        xs = jnp.concatenate(
+            [xp[:, 0:F], xp[:, 1:F + 1], xp[:, 2:F + 2]], axis=-1)
+        xf = xs.reshape(B * F, H, W, 3 * C)
+        # (3,7,7,C,O) -> (7,7,3*C,O): channel index = t_offset*C + c
+        w2 = kernel.transpose(1, 2, 0, 3, 4).reshape(7, 7, 3 * C,
+                                                     self.features)
+        y = jax.lax.conv_general_dilated(
+            xf, w2.astype(xf.dtype), window_strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_uniform(fan_in),
+                              (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y.reshape(B, F, y.shape[1], y.shape[2], self.features)
+
+
 class TorchDense(nn.Module):
     """nn.Dense with torch-default init."""
 

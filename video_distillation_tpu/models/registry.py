@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from .classic import MLP, VGG, AlexNet, LeNet, ResNet
 from .convnet2d import ConvNet2D
 from .convnet3d import ConvNet3D
+from .frepo_nets import FRePoConv, KIPConvNet
 from .video_nets import VideoConvNet
 
 DEFAULT_WIDTH, DEFAULT_DEPTH = 128, 3
@@ -95,6 +96,15 @@ def create_model(model: str, channel: int, num_classes: int,
         return convnet(net_pooling="maxpooling")
     if model == "ConvNetAP":
         return convnet(net_pooling="avgpooling")
+
+    # FRePo eval-pool nets (FRePo/lib/models/utils.py arch names)
+    if model in ("KIP_ConvNet", "kipconv"):
+        return KIPConvNet(num_classes=num_classes, width=w, depth=d)
+    if model in ("Conv", "conv"):
+        return FRePoConv(num_classes=num_classes, width=w, depth=d)
+    if model in ("DC_ConvNet", "dcconv"):
+        # DC_ConvNet == ConvNet2D with identity norm / avg pool
+        return convnet(net_norm="none", net_pooling="avgpooling")
 
     if model.startswith("VideoConvNet"):
         head = model[len("VideoConvNet"):].lower()

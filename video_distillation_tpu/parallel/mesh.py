@@ -62,3 +62,58 @@ def shard_batch(mesh: Mesh, x):
     """Place a host array sharded over the data axis (pads nothing — the
     caller guarantees divisibility)."""
     return jax.device_put(x, data_sharding(mesh))
+
+
+def mesh_size() -> int:
+    return get_mesh().devices.size
+
+
+def pad_and_shard_plan(plan: np.ndarray, mesh: Optional[Mesh] = None):
+    """Place a (..., batch) int32 index plan sharded over its LAST axis.
+
+    The batch axis is padded with -1 sentinels up to a multiple of the
+    device count, so the plan is ALWAYS sharded — never silently
+    replicated (the -1 rows are masked out of every loss by weight 0).
+    XLA then partitions the whole inner computation over the batch and
+    psums parameter gradients over ICI (the TPU-native nn.DataParallel).
+    """
+    mesh = mesh or get_mesh()
+    n = mesh.devices.size
+    plan = np.asarray(plan)
+    if n == 1:
+        return jax.numpy.asarray(plan)
+    pad = (-plan.shape[-1]) % n
+    if pad:
+        plan = np.concatenate(
+            [plan, np.full(plan.shape[:-1] + (pad,), -1, plan.dtype)],
+            axis=-1)
+    spec = [None] * (plan.ndim - 1) + [DATA_AXIS]
+    return jax.device_put(jax.numpy.asarray(plan),
+                          NamedSharding(mesh, P(*spec)))
+
+
+def shard_divisible(x, mesh: Optional[Mesh] = None):
+    """device_put ``x`` sharded over the first axis whose size divides the
+    mesh; replicated if none does (cannot pad without changing semantics,
+    e.g. unweighted per-class means)."""
+    mesh = mesh or get_mesh()
+    n = mesh.devices.size
+    if n == 1:
+        return jax.numpy.asarray(x)
+    for axis, dim in enumerate(x.shape):
+        if dim % n == 0:
+            spec = [None] * x.ndim
+            spec[axis] = DATA_AXIS
+            return jax.device_put(jax.numpy.asarray(x),
+                                  NamedSharding(mesh, P(*spec)))
+    return jax.device_put(jax.numpy.asarray(x), NamedSharding(mesh, P()))
+
+
+def replicate_array(x, mesh: Optional[Mesh] = None):
+    """Explicitly replicate a host/device array over the mesh (keeps big
+    operands like clip stores out of single-device committed placements
+    that would force cross-device gathers)."""
+    mesh = mesh or get_mesh()
+    if mesh.devices.size == 1:
+        return jax.numpy.asarray(x)
+    return jax.device_put(jax.numpy.asarray(x), NamedSharding(mesh, P()))

@@ -76,3 +76,22 @@ def save_artifact(path: str, name: str, array):
     """Reference-style output artifact (images_{it} etc.) as .npy."""
     os.makedirs(path, exist_ok=True)
     np.save(os.path.join(path, f"{name}.npy"), np.asarray(array))
+
+
+def save_pytree_artifact(path: str, name: str, tree: Any):
+    """Pytree artifact (e.g. hallucinator params — hal_{it}.pt in the
+    reference, distill_s2d_ms.py:175-193) as an .npz of path-keyed leaves."""
+    os.makedirs(path, exist_ok=True)
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        flat[jax.tree_util.keystr(kp)] = np.asarray(leaf)
+    np.savez(os.path.join(path, f"{name}.npz"), **flat)
+
+
+def load_pytree_artifact(path_npz: str, template: Any):
+    """Inverse of save_pytree_artifact: restore leaves into the template's
+    structure (leaf order follows tree_flatten_with_path, keyed by path)."""
+    with np.load(path_npz) as z:
+        paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = [z[jax.tree_util.keystr(kp)] for kp, _ in paths]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
