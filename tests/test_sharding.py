@@ -81,6 +81,48 @@ def test_sharded_dm_step_matches_replicated():
     np.testing.assert_allclose(s_sh, s_rep, rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_store_dm_400_classes():
+    """K400-scale path: a 400-class store row-sharded over the mesh (no
+    full copy per device) must train DM with numerics equal to the
+    replicated placement."""
+    import jax.numpy as jnp
+    from video_distillation_tpu.data.meta import DatasetMeta, register_meta
+    from video_distillation_tpu.data.store import ClipStore
+    from video_distillation_tpu.distill.dm import DMState, make_dm_trainer
+
+    C_, B_ = 400, 2
+    meta = DatasetMeta(name="shard-k400", channel=3, im_size=(16, 16),
+                       num_classes=C_, mean=(0.5, 0.5, 0.5),
+                       std=(0.5, 0.5, 0.5), frames=1)
+    register_meta(meta)
+    rng = np.random.default_rng(0)
+    clips = rng.integers(0, 255, (C_ * 3, 16, 16, 3), dtype=np.uint8)
+    labels = np.repeat(np.arange(C_), 3).astype(np.int32)
+    store = ClipStore(clips, labels, meta)
+
+    sharded = store.device_clips(sharded=True)
+    assert not sharded.sharding.is_fully_replicated
+    # each device holds 1/8 of the (padded) rows
+    assert sharded.shape[0] % 8 == 0
+
+    def run(shard):
+        trainer = make_dm_trainer(store, "ConvNet", ipc=1, batch_real=B_,
+                                  lr_img=1.0, frames=1,
+                                  shard_store=shard)
+        syn = jnp.asarray(
+            np.random.default_rng(3).standard_normal((C_, 16, 16, 3)),
+            jnp.float32)
+        state = DMState(syn, jnp.arange(C_, dtype=jnp.int32),
+                        jnp.zeros_like(syn))
+        state, loss = trainer(jax.random.PRNGKey(0), state,
+                              np.random.default_rng(7))
+        return float(loss)
+
+    loss_sh = run(True)
+    loss_rep = run(False)
+    np.testing.assert_allclose(loss_sh, loss_rep, rtol=1e-4)
+
+
 def test_sharded_buffer_epoch_runs():
     """One expert-buffer training epoch over the mesh (plan sharded over
     the padded batch axis)."""

@@ -71,6 +71,9 @@ class DistillConfig:
     # TPU execution
     mesh_shape: Tuple[int, ...] = (1,)   # data-parallel devices
     compute_dtype: str = "float32"       # 'bfloat16' to run convs in bf16
+    # row-shard the uint8 clip store over the mesh (1/n_dev HBM per chip)
+    # for K400/SSv2-scale datasets that exceed one chip
+    shard_store: bool = False
 
     def resolved_batch_syn(self, num_classes: int) -> int:
         n = num_classes * (self.vpc if self.s2d else self.ipc)
@@ -151,7 +154,7 @@ _PRESETS = {
                                      Iteration=10000, eval_it=1000,
                                      no_train_static=True, batch_train=256,
                                      batch_syn=256, eval_mode="top5",
-                                     frames=8),
+                                     frames=8, shard_store=True),
     # sh/baseline/buffer.sh
     "buffer": BufferConfig(num_experts=30, lr_teacher=0.01),
 }

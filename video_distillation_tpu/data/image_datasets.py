@@ -79,6 +79,137 @@ def load_image_dataset(name: str, data_path: str,
     return VideoData(meta=meta, train=train, test=test)
 
 
+_IMAGENETTE_WNIDS = [
+    "n01440764", "n02102040", "n02979186", "n03000684", "n03028079",
+    "n03394916", "n03417042", "n03425413", "n03445777", "n03888257"]
+_IMAGEWOOF_WNIDS = [
+    "n02086240", "n02087394", "n02088364", "n02089973", "n02093754",
+    "n02096294", "n02099601", "n02105641", "n02111889", "n02115641"]
+
+
+def _load_jpeg_dir_split(split_dir: str, wnids, im_size) -> Tuple[
+        np.ndarray, np.ndarray]:
+    """Read <split_dir>/<wnid>/*.{JPEG,jpg,png} into (N,H,W,3) uint8."""
+    from PIL import Image
+
+    imgs, labels = [], []
+    wnid_to_idx = {w: i for i, w in enumerate(sorted(wnids))}
+    for wnid in sorted(wnids):
+        d = os.path.join(split_dir, wnid)
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if not f.lower().endswith((".jpeg", ".jpg", ".png")):
+                continue
+            img = Image.open(os.path.join(d, f)).convert("RGB")
+            if img.size != (im_size[1], im_size[0]):
+                img = img.resize((im_size[1], im_size[0]), Image.BILINEAR)
+            imgs.append(np.asarray(img, np.uint8))
+            labels.append(wnid_to_idx[wnid])
+    x = (np.stack(imgs) if imgs
+         else np.empty((0,) + tuple(im_size) + (3,), np.uint8))
+    return x, np.asarray(labels, np.int32)
+
+
+def load_imagenette(root: str, name: str = "imagenette") -> VideoData:
+    """Imagenette/Imagewoof builder over the extracted fast.ai archive
+    layout (<root>/{train,val}/<wnid>/*.JPEG) — the TPU-native equivalent
+    of the reference's tfds GeneratorBasedBuilder
+    (FRePo/lib/dataset/imagenette.py, imagewoof.py)."""
+    meta = get_meta(name)
+    wnids = (_IMAGENETTE_WNIDS if name == "imagenette"
+             else _IMAGEWOOF_WNIDS)
+    xtr, ytr = _load_jpeg_dir_split(os.path.join(root, "train"), wnids,
+                                    meta.im_size)
+    xte, yte = _load_jpeg_dir_split(os.path.join(root, "val"), wnids,
+                                    meta.im_size)
+    return from_arrays(name, xtr, ytr, xte, yte)
+
+
+def load_imagewoof(root: str) -> VideoData:
+    return load_imagenette(root, name="imagewoof")
+
+
+def load_tiny_imagenet(root: str) -> VideoData:
+    """tiny-imagenet-200 layout: train/<wnid>/images/*.JPEG, val/images +
+    val/val_annotations.txt (FRePo/lib/dataset/tinyimagenet.py)."""
+    from PIL import Image
+
+    meta = get_meta("tiny_imagenet")
+    with open(os.path.join(root, "wnids.txt")) as f:
+        wnids = sorted(line.strip() for line in f if line.strip())
+    wnid_to_idx = {w: i for i, w in enumerate(wnids)}
+
+    imgs, labels = [], []
+    for wnid in wnids:
+        d = os.path.join(root, "train", wnid, "images")
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            img = Image.open(os.path.join(d, f)).convert("RGB")
+            imgs.append(np.asarray(img, np.uint8))
+            labels.append(wnid_to_idx[wnid])
+    xtr = np.stack(imgs)
+    ytr = np.asarray(labels, np.int32)
+
+    imgs, labels = [], []
+    with open(os.path.join(root, "val", "val_annotations.txt")) as f:
+        for line in f:
+            parts = line.split("\t")
+            if len(parts) < 2:
+                continue
+            fname, wnid = parts[0], parts[1]
+            img = Image.open(os.path.join(root, "val", "images",
+                                          fname)).convert("RGB")
+            imgs.append(np.asarray(img, np.uint8))
+            labels.append(wnid_to_idx[wnid])
+    xte = np.stack(imgs)
+    yte = np.asarray(labels, np.int32)
+    return from_arrays("tiny_imagenet", xtr, ytr, xte, yte)
+
+
+def write_preprocessed_shards(x: np.ndarray, y: np.ndarray, out_dir: str,
+                              prefix: str, preprocess_op=None,
+                              num_per_shard: int = 10000):
+    """Sharded preprocessed-dataset writer — the npz equivalent of the
+    reference's tfrecord write path (FRePo/lib/dataset/ops.py:349-437):
+    apply a preprocess op (e.g. normalise + ZCA whitening) and write
+    float32 shards + an index manifest.
+    """
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = x.shape[0]
+    shard_lengths = []
+    shard = 0
+    for i in range(0, n, num_per_shard):
+        xb = x[i:i + num_per_shard]
+        if preprocess_op is not None:
+            xb = np.asarray(preprocess_op(xb), np.float32)
+        np.savez(os.path.join(out_dir, f"{prefix}-{shard:05d}.npz"),
+                 x=xb, y=y[i:i + num_per_shard])
+        shard_lengths.append(xb.shape[0])
+        shard += 1
+    with open(os.path.join(out_dir, f"{prefix}-index.json"), "w") as f:
+        json.dump({"shard_lengths": shard_lengths, "total": n}, f)
+    return shard_lengths
+
+
+def load_preprocessed_shards(out_dir: str, prefix: str):
+    """Read back all shards written by write_preprocessed_shards."""
+    import json
+
+    with open(os.path.join(out_dir, f"{prefix}-index.json")) as f:
+        idx = json.load(f)
+    xs, ys = [], []
+    for shard in range(len(idx["shard_lengths"])):
+        with np.load(os.path.join(out_dir,
+                                  f"{prefix}-{shard:05d}.npz")) as z:
+            xs.append(z["x"])
+            ys.append(z["y"])
+    return np.concatenate(xs), np.concatenate(ys)
+
+
 def from_arrays(name: str, xtr, ytr, xte, yte) -> VideoData:
     """Build an image VideoData from in-memory arrays (tests)."""
     meta = get_meta(name)

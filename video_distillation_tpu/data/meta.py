@@ -96,6 +96,17 @@ _REGISTRY = {
     "CIFAR100": DatasetMeta("CIFAR100", 3, (32, 32), 100,
                             (0.5071, 0.4866, 0.4409),
                             (0.2673, 0.2564, 0.2762)),
+    # FRePo image sets (FRePo/lib/dataset/dataloader.py:14-26 stats;
+    # imagenette/imagewoof at 128^2, tiny-imagenet at 64^2)
+    "imagenette": DatasetMeta("imagenette", 3, (128, 128), 10,
+                              (0.4626, 0.4588, 0.4251),
+                              (0.2790, 0.2745, 0.2973)),
+    "imagewoof": DatasetMeta("imagewoof", 3, (128, 128), 10,
+                             (0.4917, 0.4613, 0.3931),
+                             (0.2513, 0.2442, 0.2530)),
+    "tiny_imagenet": DatasetMeta("tiny_imagenet", 3, (64, 64), 200,
+                                 (0.4759, 0.4481, 0.3926),
+                                 (0.2763, 0.2687, 0.2813)),
 }
 
 

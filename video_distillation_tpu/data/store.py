@@ -74,15 +74,35 @@ class ClipStore:
     def item_shape(self):
         return self.clips.shape[1:]
 
-    def device_clips(self) -> jax.Array:
-        """uint8 clip store on the default device (cached), flattened to
+    def device_clips(self, sharded: bool = False) -> jax.Array:
+        """uint8 clip store on device (cached), flattened to
         (N, prod(item_shape)).
 
         Measured on v5e: gathering rows of the flat 2-D layout is ~13x
         faster than the same gather on the 5-D array (XLA tiles the tiny
         trailing channel dim poorly). Consumers reshape the gathered rows
         back to clips — a free metadata view.
+
+        ``sharded=True`` splits the rows over the mesh's data axis (zero
+        rows pad N to a device multiple) so K400/SSv2-scale stores never
+        materialize fully on one chip; XLA turns row gathers into
+        cross-device collectives. Call only when row indices stay < N.
         """
+        if sharded:
+            if getattr(self, "_device_clips_sharded", None) is None:
+                from ..parallel import get_mesh
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                mesh = get_mesh()
+                n_dev = mesh.devices.size
+                flat = self.clips.reshape(self.clips.shape[0], -1)
+                pad = (-flat.shape[0]) % n_dev
+                if pad:
+                    flat = np.concatenate(
+                        [flat, np.zeros((pad, flat.shape[1]), flat.dtype)])
+                self._device_clips_sharded = jax.device_put(
+                    flat, NamedSharding(mesh, P("data", None)))
+            return self._device_clips_sharded
         if self._device_clips is None:
             self._device_clips = jnp.asarray(
                 self.clips.reshape(self.clips.shape[0], -1))

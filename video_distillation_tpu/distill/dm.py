@@ -59,13 +59,17 @@ def _build_dm_step(model_name: str, channel: int, num_classes: int,
                    batch_real: int, lr_img: float, compute_dtype: str):
     model_def = create_model(model_name, channel, num_classes, im_size,
                              frames)
+    from ..models.registry import is_video_model
+    item_shape = ((frames,) + im_size + (channel,)
+                  if is_video_model(model_name)
+                  else im_size + (channel,))
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
     def step(key, syn_images, mom, clips_u8, real_idx, norm_mean, norm_std):
         """One DM outer iteration.
 
-        clips_u8: full (N,F,H,W,C) uint8 store; real_idx: (C, B) host-drawn
-        per-class indices; norm_mean/std: (C,) channel stats * 255.
+        clips_u8: flat (N, prod(item)) uint8 store; real_idx: (C, B)
+        host-drawn per-class indices; norm_mean/std: channel stats * 255.
         """
         k_init = jax.random.fold_in(key, 0)
         sample = syn_images[:1]
@@ -74,8 +78,7 @@ def _build_dm_step(model_name: str, channel: int, num_classes: int,
         # bf16 conv compute requires bf16 params too, else XLA promotes
         params = jax.tree.map(lambda a: a.astype(cdt), params)
 
-        real = clips_u8[real_idx.reshape(-1)].reshape(
-            (-1, frames) + im_size + (channel,))
+        real = clips_u8[real_idx.reshape(-1)].reshape((-1,) + item_shape)
         real = (real.astype(jnp.float32) - norm_mean) / norm_std
 
         feat_real = model_def.apply({"params": params}, real.astype(cdt),
@@ -108,16 +111,23 @@ class DMState:
 
 def make_dm_trainer(store: ClipStore, model_name: str, ipc: int,
                     batch_real: int, lr_img: float, frames: int,
-                    compute_dtype: str = "float32"):
-    """Returns step(key, state, np_rng) -> (state, loss)."""
+                    compute_dtype: str = "float32",
+                    shard_store: bool = False):
+    """Returns step(key, state, np_rng) -> (state, loss).
+
+    ``shard_store=True`` keeps the uint8 clip tensor row-sharded over the
+    mesh (1/n_dev per device) instead of replicated — required for
+    K400/SSv2-scale stores that exceed single-chip HBM.
+    """
     meta = store.meta
     step_fn = _build_dm_step(model_name, meta.channel, meta.num_classes,
                              tuple(meta.im_size), frames, ipc, batch_real,
                              lr_img, compute_dtype)
-    # clips replicated over the mesh; the (C, B) real index sharded over
-    # whichever axis divides it — XLA partitions the batched embed and
-    # psums the synthetic gradient over ICI
-    clips_dev = replicate_array(store.device_clips())
+    # clips replicated (or row-sharded) over the mesh; the (C, B) real
+    # index sharded over whichever axis divides it — XLA partitions the
+    # batched embed and psums the synthetic gradient over ICI
+    clips_dev = (store.device_clips(sharded=True) if shard_store
+                 else replicate_array(store.device_clips()))
     norm_mean = jnp.asarray(meta.mean, jnp.float32) * 255.0
     norm_std = jnp.asarray(meta.std, jnp.float32) * 255.0
 
@@ -212,14 +222,16 @@ def make_s2d_dm_trainer(store: ClipStore, model_name: str,
                         s2d_cfg: S2DConfig, batch_real: int,
                         lr_static: float, lr_dynamic: float, lr_hal: float,
                         train_static: bool, frames: int,
-                        compute_dtype: str = "float32"):
+                        compute_dtype: str = "float32",
+                        shard_store: bool = False):
     meta = store.meta
     s2d_items = tuple(sorted(dataclasses.asdict(s2d_cfg).items()))
     step_fn = _build_s2d_dm_step(model_name, meta.channel, meta.num_classes,
                                  tuple(meta.im_size), frames, s2d_items,
                                  batch_real, lr_static, lr_dynamic, lr_hal,
                                  train_static, compute_dtype)
-    clips_dev = replicate_array(store.device_clips())
+    clips_dev = (store.device_clips(sharded=True) if shard_store
+                 else replicate_array(store.device_clips()))
     norm_mean = jnp.asarray(meta.mean, jnp.float32) * 255.0
     norm_std = jnp.asarray(meta.std, jnp.float32) * 255.0
 

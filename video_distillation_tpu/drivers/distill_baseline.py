@@ -36,7 +36,8 @@ def run_dm(cfg: DistillConfig, data, logger: MetricLogger):
     state = DMState(syn, labels, jnp.zeros_like(syn))
     trainer = make_dm_trainer(data.train, cfg.model, cfg.ipc,
                               cfg.batch_real, cfg.lr_img, cfg.frames,
-                              cfg.compute_dtype)
+                              cfg.compute_dtype,
+                              shard_store=cfg.shard_store)
     save_dir = os.path.join(cfg.save_path, f"Baseline_DM_{cfg.dataset}")
     ckpt_dir = os.path.join(save_dir, "ckpt")
     start_it = 0

@@ -91,7 +91,7 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
         trainer = make_s2d_dm_trainer(
             data.train, cfg.model, s2d_cfg, cfg.batch_real, cfg.lr_static,
             cfg.lr_dynamic, cfg.lr_hal, not cfg.no_train_static, cfg.frames,
-            cfg.compute_dtype)
+            cfg.compute_dtype, shard_store=cfg.shard_store)
         for it in range(start_it, cfg.Iteration + 1):
             if tracker.should_eval(it):
                 tracker.maybe_eval(

@@ -92,18 +92,39 @@ EXTRA_FNS = {
 }
 
 
-def get_aug_by_name(strategy: str, param: ParamDiffAug | None = None):
+def get_aug_by_name(strategy: str, res: int = 32,
+                    param: ParamDiffAug | None = None):
     """augmax/export.py:21-39 equivalent: build a jitted transform applying
-    ONE random strategy from the chain per call (vmapped over the batch by
-    construction — all ops here are batched)."""
+    ONE random strategy from the chain per call (batched ops with
+    per-sample draws — the use_siamese=False vmap of the reference).
+
+    The per-strategy op configuration matches export.get_aug_by_name:
+    color=NormalizedColorJitter(0.25,0.25,0.25,p=1),
+    crop=RandomSizedCrop(res, zoom (0.8,1.25)), translate=RandomTranslate
+    (0.125), cutout=Cutout(1, res//4, res//4), flip=HorizontalFlip(0.5),
+    rotate=Rotate(+-15). Extra names (gridshuffle/blur + the DSA six) keep
+    resolving through the DSA table.
+    """
     param = param or ParamDiffAug()
     if strategy in ("None", "none", ""):
         return jax.jit(lambda key, x: x)
+    from . import augmax_ops as am
+
+    augmax_table = {
+        "color": am.normalized_color_jitter(0.25, 0.25, 0.25, p=1.0),
+        "crop": am.random_sized_crop(res, res, zoom_range=(0.8, 1.25)),
+        "translate": am.random_translate(0.125),
+        "cutout": am.cutout(1, res // 4, res // 4, 0.0, p=1.0),
+        "flip": am.horizontal_flip(0.5),
+        "rotate": am.rotate((-15, 15), p=1.0),
+    }
     names = strategy.split("_")
-    table = {**AUGMENT_FNS, **EXTRA_FNS}
+    dsa_table = {**AUGMENT_FNS, **EXTRA_FNS}
 
     def apply_one(name, key, x):
-        for f in table[name]:
+        if name in augmax_table:
+            return augmax_table[name](key, x)
+        for f in dsa_table[name]:
             key, k = jax.random.split(key)
             x = f(x, k, param, jnp.asarray(False))
         return x
