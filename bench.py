@@ -59,19 +59,24 @@ def bench_s2d_mtt(num_classes=50, frames=16, im=(112, 112), syn_steps=10,
         plan = jnp.asarray(make_batch_plan(rng, n_syn, n_syn, syn_steps))
         out = step_fn(jax.random.fold_in(jax.random.PRNGKey(1), i), state,
                       syn_lr, moms, mom_lr, theta0, theta1, plan)
-        # force a host transfer: under the tunneled-TPU (axon) relay,
-        # block_until_ready alone returns before execution completes —
-        # only fetching a value truly synchronises
-        float(out[4])
         return out[0], out[1], out[2], out[3], out[4]
 
     for i in range(warmup):
         state, syn_lr, moms, mom_lr, loss = run(i, state, syn_lr, moms,
                                                 mom_lr)
+        # force a host transfer: under the tunneled-TPU (axon) relay,
+        # block_until_ready alone returns before execution completes —
+        # only fetching a value truly synchronises
+        float(loss)
     t0 = time.perf_counter()
     for i in range(iters):
         state, syn_lr, moms, mom_lr, loss = run(100 + i, state, syn_lr,
                                                 moms, mom_lr)
+    # steps chain through on-device state, so dispatching the window and
+    # fetching only the final loss is a full sync of all `iters` steps;
+    # per-step host fetches would serialise a ~30-50 ms relay round trip
+    # into every step (drivers likewise only fetch at log points)
+    float(loss)
     dt = time.perf_counter() - t0
     return iters / dt
 

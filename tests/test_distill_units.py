@@ -111,3 +111,39 @@ def test_presets():
     assert b.num_experts == 30 and b.lr_teacher == 0.01
     with pytest.raises(KeyError):
         get_preset("nope")
+
+
+def test_mtt_second_order_rof_matches_remat():
+    """The reverse-over-forward custom-VJP inner step (default) must
+    produce the same outer gradients as the remat reverse-over-reverse
+    path it replaced (mtt.py _build_mtt_core)."""
+    from video_distillation_tpu.distill.mtt import (_build_mtt_core,
+                                                    flat_param_template)
+
+    nc, F, im, S, B = 3, 8, (64, 64), 2, 6
+    _, _, f0, _ = flat_param_template("ConvNet3D", 3, nc, im, F, seed=0)
+    _, _, f1, _ = flat_param_template("ConvNet3D", 3, nc, im, F, seed=1)
+    k = jax.random.PRNGKey(0)
+    bx = jax.random.normal(jax.random.PRNGKey(2),
+                           (S, B, F, im[0], im[1], 3)) * 0.1
+    by = jax.random.randint(jax.random.PRNGKey(3), (S, B), 0, nc)
+    bw = jnp.ones((S, B))
+    lr = jnp.asarray(0.02)
+
+    outs = {}
+    for mode in ("rof", "remat"):
+        unr = _build_mtt_core("ConvNet3D", 3, nc, im, F, S, "float32", mode)
+
+        def loss(bx, lr, unr=unr):
+            return unr(jnp.asarray(f0), jnp.asarray(f1), lr, bx, by, bw,
+                       k)[0]
+
+        v, (gx, glr) = jax.jit(
+            jax.value_and_grad(loss, argnums=(0, 1)))(bx, lr)
+        outs[mode] = (np.asarray(v), np.asarray(gx), np.asarray(glr))
+
+    v_r, gx_r, glr_r = outs["rof"]
+    v_m, gx_m, glr_m = outs["remat"]
+    assert abs(v_r - v_m) < 1e-6
+    assert np.linalg.norm(gx_r - gx_m) / np.linalg.norm(gx_m) < 1e-5
+    assert abs(glr_r - glr_m) / abs(glr_m) < 1e-5

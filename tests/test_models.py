@@ -140,3 +140,62 @@ def test_eval_pool_modes():
     assert len(get_eval_pool("M", "ConvNet")) == 6
     assert get_eval_pool("top5", "ConvNet3D") == ["ConvNet3D"]
     assert is_video_model("ConvNet3D") and not is_video_model("ConvNet")
+
+
+def test_temporal_conv_sum_path_matches_conv3d():
+    """The wide-channel shifted-sum formulation (layers.py) must equal the
+    direct Conv3d k=(3,7,7) s=(1,2,2) p=(1,3,3)."""
+    import jax.numpy as jnp
+    from video_distillation_tpu.models.layers import TemporalIm2ColConv
+
+    B, F, H, W, C, O = 2, 8, 28, 28, 64, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, F, H, W, C)) * 0.1
+    mod = TemporalIm2ColConv(features=O)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    y = mod.apply(params, x)
+    k = params["params"]["kernel"]
+    b = params["params"]["bias"]
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 2, 2), ((1, 1), (3, 3), (3, 3)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    assert float(jnp.max(jnp.abs(y - ref))) < 1e-5
+
+
+def test_fused_first_stage_matches_unfused():
+    """fuse_pool (space-to-depth conv + phase max) == conv -> relu ->
+    (2,2) spatial max-pool, values and gradients."""
+    import jax.numpy as jnp
+    from video_distillation_tpu.models.layers import (TemporalIm2ColConv,
+                                                      max_pool)
+
+    B, F, H, W, O = 2, 8, 64, 64, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, F, H, W, 3))
+    mod_f = TemporalIm2ColConv(features=O, fuse_pool=True)
+    mod_u = TemporalIm2ColConv(features=O, fuse_pool=False)
+    params = mod_u.init(jax.random.PRNGKey(1), x)
+    yu = max_pool(jax.nn.relu(mod_u.apply(params, x)), (1, 2, 2))
+    yf = jax.nn.relu(mod_f.apply(params, x))
+    assert float(jnp.max(jnp.abs(yu - yf))) < 1e-5
+
+    gu = jax.grad(lambda p: (max_pool(jax.nn.relu(mod_u.apply(p, x)),
+                                      (1, 2, 2)) ** 2).sum())(params)
+    gf = jax.grad(lambda p: (jax.nn.relu(mod_f.apply(p, x)) ** 2).sum())(
+        params)
+    for kname in ("kernel", "bias"):
+        a = gu["params"][kname]
+        b = gf["params"][kname]
+        assert float(jnp.linalg.norm(a - b) /
+                     (jnp.linalg.norm(a) + 1e-30)) < 1e-5
+
+
+def test_max_pool_pairmax_matches_reduce_window():
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from video_distillation_tpu.models.layers import max_pool
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 9, 9, 4))
+    for win in [(1, 2, 2), (2, 2, 2)]:
+        a = max_pool(x, win)
+        b = nn.max_pool(x, win, strides=win, padding="VALID")
+        assert a.shape == b.shape
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0

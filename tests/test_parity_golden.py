@@ -76,10 +76,10 @@ def build_pair(seed=0):
         "kernel": port(convs[0].weight),
         "bias": jnp.asarray(convs[0].bias.detach().numpy())}
     for i, conv in enumerate(convs[1:]):
-        params[f"TorchConv_{i}"] = {"Conv_0": {
+        params[f"TemporalIm2ColConv_{i + 1}"] = {
             "kernel": port(conv.weight),
-            "bias": jnp.asarray(conv.bias.detach().numpy())}}
-    params[f"TorchConv_{len(convs) - 1}"] = {"Conv_0": {
+            "bias": jnp.asarray(conv.bias.detach().numpy())}
+    params["TorchConv_0"] = {"Conv_0": {
         "kernel": port(tnet.logit.weight),
         "bias": jnp.asarray(tnet.logit.bias.detach().numpy())}}
     return tnet, model, params
@@ -175,7 +175,7 @@ def test_mtt_inner_step_and_grand_loss(pair):
         rtol=1e-3, atol=1e-5)
     # logit conv bias (last param)
     np.testing.assert_allclose(
-        np.asarray(upd[f"TorchConv_{len(convs) - 1}"]["Conv_0"]["bias"]),
+        np.asarray(upd["TorchConv_0"]["Conv_0"]["bias"]),
         updated_t[-1].detach().numpy(), rtol=1e-3, atol=1e-6)
 
     # grand loss normalization on the flattened params

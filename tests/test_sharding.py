@@ -142,3 +142,16 @@ def test_sharded_buffer_epoch_runs():
     assert traj.shape[0] == 3  # init + 2 epochs
     assert np.isfinite(traj).all()
     assert 0.0 <= acc <= 1.0
+
+
+def test_distributed_helpers_single_host():
+    """init_distributed is a silent no-op without cluster config; the
+    coordinator predicate holds on process 0 (multi-host writes gate on
+    it — utils/checkpoint.py)."""
+    from video_distillation_tpu.parallel import (init_distributed,
+                                                 is_coordinator,
+                                                 process_index)
+
+    assert init_distributed() is False
+    assert process_index() == 0
+    assert is_coordinator() is True

@@ -71,6 +71,10 @@ class DistillConfig:
     # TPU execution
     mesh_shape: Tuple[int, ...] = (1,)   # data-parallel devices
     compute_dtype: str = "float32"       # 'bfloat16' to run convs in bf16
+    # MTT outer-backward mode: 'rof' (custom-VJP reverse-over-forward,
+    # fastest), 'remat' (checkpointed reverse-over-reverse), 'full'
+    # (no remat; highest memory)
+    second_order: str = "rof"
     # row-shard the uint8 clip store over the mesh (1/n_dev HBM per chip)
     # for K400/SSv2-scale datasets that exceed one chip
     shard_store: bool = False

@@ -73,36 +73,98 @@ def flat_param_template(model_name: str, channel: int, num_classes: int,
 @functools.lru_cache(maxsize=16)
 def _build_mtt_core(model_name: str, channel: int, num_classes: int,
                     im_size: Tuple[int, int], frames: int, syn_steps: int,
-                    compute_dtype: str):
+                    compute_dtype: str, second_order: str = "rof"):
     """The inner unroll: (syn_videos_fn-composed batches, θ_start, syn_lr)
-    -> grand loss. Shared by the raw and S2D outer steps."""
+    -> grand loss. Shared by the raw and S2D outer steps.
+
+    ``second_order`` picks how the outer backward differentiates the inner
+    CE-grad:
+
+    * ``"rof"`` (default): a custom VJP whose backward is
+      grad-of-a-jvp (reverse-over-forward). The VJP of
+      g(θ,x) = ∇_θ ce(θ,x) at cotangent v is
+      ∇_{θ,x} (v·∇_θ ce) = ∇_{θ,x} jvp(ce, (θ,x), (v,0)) — one
+      linearised forward + one transpose, instead of the remat'd
+      reverse-over-reverse XLA otherwise builds (~2x faster on the
+      v5e at the miniUCF101 shapes).
+    * ``"remat"``: the round-1 path — jax.checkpoint on the inner step,
+      reverse-over-reverse in the outer backward.
+    """
     model_def, _, _, unravel = flat_param_template(
         model_name, channel, num_classes, im_size, frames)
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    def ce(th, x, y, w, step_i, drop_key):
+        # mixed precision: bf16 conv compute, fp32 master θ —
+        # casting only x would promote convs back to fp32
+        p = jax.tree.map(lambda a: a.astype(cdt), unravel(th))
+        logits = model_def.apply(
+            {"params": p}, x.astype(cdt), train=True,
+            rngs={"dropout": jax.random.fold_in(drop_key, step_i)})
+        logits = logits.astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        pick = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+        return jnp.sum(pick * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    def _float0(a):
+        return np.zeros(a.shape, jax.dtypes.float0)
+
+    # NB: drop_key/step_i must be explicit ce_grad arguments — inside the
+    # jitted step they are tracers, and custom_vjp functions may not close
+    # over tracers ("No constant handler" at trace time).
+    @jax.custom_vjp
+    def ce_grad(theta, x, y, w, step_i, drop_key):
+        return jax.grad(ce)(theta, x, y, w, step_i, drop_key)
+
+    def ce_grad_fwd(theta, x, y, w, step_i, drop_key):
+        g = jax.grad(ce)(theta, x, y, w, step_i, drop_key)
+        return g, (theta, x, y, w, step_i, drop_key)
+
+    def ce_grad_bwd(res, v):
+        theta, x, y, w, step_i, drop_key = res
+
+        def hvp_target(th, xx):
+            return jax.jvp(
+                lambda t: ce(t, xx, y, w, step_i, drop_key), (th,), (v,))[1]
+
+        gt, gx = jax.grad(hvp_target, argnums=(0, 1))(theta, x)
+        return (gt, gx, _float0(y), jnp.zeros_like(w), _float0(step_i),
+                _float0(drop_key))
+
+    ce_grad.defvjp(ce_grad_fwd, ce_grad_bwd)
 
     def unroll(theta_start, theta_target, syn_lr, batches_x, batches_y,
                batches_w, drop_key):
         """batches_x: (S, B, F, H, W, C) float32 (already in normalised
         space); returns grand_loss, plus (param_loss, param_dist)."""
 
-        @jax.checkpoint
-        def inner(theta, inp):
-            x, y, w, step_i = inp
+        if second_order == "rof":
 
-            def ce(th):
-                # mixed precision: bf16 conv compute, fp32 master θ —
-                # casting only x would promote convs back to fp32
-                p = jax.tree.map(lambda a: a.astype(cdt), unravel(th))
-                logits = model_def.apply(
-                    {"params": p}, x.astype(cdt), train=True,
-                    rngs={"dropout": jax.random.fold_in(drop_key, step_i)})
-                logits = logits.astype(jnp.float32)
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                pick = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
-                return jnp.sum(pick * w) / jnp.maximum(jnp.sum(w), 1.0)
+            def inner(theta, inp):
+                x, y, w, step_i = inp
+                g = ce_grad(theta, x, y, w, step_i, drop_key)
+                return theta - syn_lr * g, None
 
-            grad = jax.grad(ce)(theta)
-            return theta - syn_lr * grad, None
+        elif second_order == "remat":
+
+            @jax.checkpoint
+            def inner(theta, inp):
+                x, y, w, step_i = inp
+                g = jax.grad(ce)(theta, x, y, w, step_i, drop_key)
+                return theta - syn_lr * g, None
+
+        elif second_order == "full":
+            # no remat, no custom VJP: scan saves every step's residuals
+            # (all activations); the outer backward reuses them instead of
+            # recomputing. Highest memory, fewest FLOPs.
+
+            def inner(theta, inp):
+                x, y, w, step_i = inp
+                g = jax.grad(ce)(theta, x, y, w, step_i, drop_key)
+                return theta - syn_lr * g, None
+
+        else:
+            raise ValueError(f"unknown second_order mode: {second_order}")
 
         steps = jnp.arange(syn_steps)
         theta_final, _ = jax.lax.scan(
@@ -118,9 +180,11 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
 def _build_mtt_step(model_name: str, channel: int, num_classes: int,
                     im_size: Tuple[int, int], frames: int, syn_steps: int,
                     lr_img: float, lr_lr: float, train_lr: bool,
-                    compute_dtype: str):
+                    compute_dtype: str, second_order: str = "rof"):
     unroll = _build_mtt_core(model_name, channel, num_classes, im_size,
-                             frames, syn_steps, compute_dtype)
+                             frames, syn_steps, compute_dtype, second_order)
+
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
     def step(key, syn_images, syn_labels, syn_lr, mom_img, mom_lr,
              theta_start, theta_target, plan):
@@ -130,7 +194,10 @@ def _build_mtt_step(model_name: str, channel: int, num_classes: int,
 
         def loss_fn(syn, lr_scalar):
             item = syn.shape[1:]
-            syn2d = syn.reshape(syn.shape[0], -1)
+            # gather + stage the unroll batches in the compute dtype:
+            # halves the scan-input HBM traffic; the model casts to cdt
+            # anyway, and grads flow back through the cast into fp32 syn
+            syn2d = syn.astype(cdt).reshape(syn.shape[0], -1)
             batches_x = syn2d[safe].reshape(safe.shape + item)
             loss, aux = unroll(theta_start, theta_target, lr_scalar,
                                batches_x, batches_y, w, key)
@@ -155,9 +222,9 @@ def _build_s2d_mtt_step(model_name: str, channel: int, num_classes: int,
                         syn_steps: int, s2d_items: tuple, lr_static: float,
                         lr_dynamic: float, lr_hal: float, lr_lr: float,
                         train_static: bool, train_lr: bool,
-                        compute_dtype: str):
+                        compute_dtype: str, second_order: str = "rof"):
     unroll = _build_mtt_core(model_name, channel, num_classes, im_size,
-                             frames, syn_steps, compute_dtype)
+                             frames, syn_steps, compute_dtype, second_order)
     s2d_cfg = S2DConfig(**dict(s2d_items))
 
     def step(key, s2d_state, syn_lr, moms, mom_lr, theta_start,
@@ -187,9 +254,13 @@ def _build_s2d_mtt_step(model_name: str, channel: int, num_classes: int,
             flat_idx = labels.reshape(-1) * dy.shape[1] + d_idxs.reshape(-1)
             dynamic = dy.reshape(dy.shape[0] * dy.shape[1], -1)[
                 flat_idx].reshape((-1,) + dy.shape[2:])
+            # compose + stage the unroll batches in the compute dtype
+            cdt = jnp.bfloat16 if compute_dtype == "bfloat16" \
+                else jnp.float32
             videos = hallucinate(state["hals"][0], static, dynamic,
-                                 s2d_cfg.hal_mode)
-            batches_x = videos.reshape((syn_steps, -1) + videos.shape[1:])
+                                 s2d_cfg.hal_mode, dtype=cdt)
+            batches_x = videos.reshape(
+                (syn_steps, -1) + videos.shape[1:])
             loss, aux = unroll(theta_start, theta_target, lr_scalar,
                                batches_x, labels, w, k_drop)
             return loss, aux

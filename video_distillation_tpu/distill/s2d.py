@@ -57,9 +57,19 @@ def init_s2d_state(key, cfg: S2DConfig):
     return {"static": static, "dynamic": dynamic, "hals": hal_params}
 
 
-def hallucinate(hal_params, static, dynamic, mode: str = "concat"):
+def hallucinate(hal_params, static, dynamic, mode: str = "concat",
+                dtype=None):
     """Compose videos: static (B,H,W,3) + dynamic (B,F,H,W,1) ->
-    (B,F,H,W,3)."""
+    (B,F,H,W,3).
+
+    ``dtype`` (e.g. bfloat16) casts inputs and kernel for the compose:
+    the 4->3-channel stencil conv is bandwidth-bound and XLA runs it 2x
+    faster in bf16; grads flow back through the casts into the fp32
+    master state."""
+    if dtype is not None:
+        hal_params = jax.tree.map(lambda a: a.astype(dtype), hal_params)
+        static = static.astype(dtype)
+        dynamic = dynamic.astype(dtype)
     return Hallucinator(mode=mode).apply({"params": hal_params}, static,
                                          dynamic)
 

@@ -30,6 +30,12 @@ def parse_config_args(description: str, argv=None,
     any --<field> overrides it (mirrors the reference sh/ wrappers passing
     "$@" through to argparse). Unknown flags are argparse errors, never
     silently dropped."""
+    from ..parallel import init_distributed
+
+    # multi-host: extend the mesh over DCN before any other jax use —
+    # a silent no-op for single-host runs (see parallel/mesh.py)
+    init_distributed()
+
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--preset", type=str, default=default_preset)
     for f in dataclasses.fields(DistillConfig):

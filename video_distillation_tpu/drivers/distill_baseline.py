@@ -88,7 +88,7 @@ def run_mtt(cfg: DistillConfig, data, logger: MetricLogger):
     step_fn = _build_mtt_step(cfg.model, meta.channel, meta.num_classes,
                               tuple(meta.im_size), cfg.frames,
                               cfg.syn_steps, cfg.lr_img, cfg.lr_lr,
-                              cfg.train_lr, cfg.compute_dtype)
+                              cfg.train_lr, cfg.compute_dtype, cfg.second_order)
     syn_lr = jnp.asarray(float(cfg.lr_teacher))
     mom_img = jnp.zeros_like(syn)
     mom_lr = jnp.zeros(())

@@ -119,7 +119,8 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
             cfg.model, meta.channel, meta.num_classes, tuple(meta.im_size),
             cfg.frames, cfg.syn_steps, s2d_items, cfg.lr_static,
             cfg.lr_dynamic, cfg.lr_hal, cfg.lr_lr,
-            not cfg.no_train_static, cfg.train_lr, cfg.compute_dtype)
+            not cfg.no_train_static, cfg.train_lr, cfg.compute_dtype,
+            cfg.second_order)
         from ..parallel import pad_and_shard_plan
         for it in range(start_it, cfg.Iteration + 1):
             if tracker.should_eval(it):

@@ -50,15 +50,23 @@ class ConvNet3D(nn.Module):
             feats = 64 if d == 0 else self.net_width
             if d == 0:
                 # first layer as temporal-im2col conv2d: identical math,
-                # ~3x faster backward on TPU at C_in=3 (see layers.py)
-                x = TemporalIm2ColConv(features=feats)(x)
+                # ~3x faster backward on TPU at C_in=3 (see layers.py);
+                # with maxpooling + no norm the spatial (2,2) pool is
+                # additionally folded into the conv (space-to-depth) —
+                # the layer then emits bias->pool->relu-ready output
+                fuse = (self.net_pooling == "maxpooling"
+                        and self.net_norm == "none"
+                        and x.shape[2] % 4 == 0 and x.shape[3] % 4 == 0)
+                x = TemporalIm2ColConv(features=feats, fuse_pool=fuse)(x)
+                if fuse:
+                    x = act(x)
+                    continue
             else:
-                x = TorchConv(
-                    features=feats,
-                    kernel_size=(3, 7, 7),
-                    strides=(1, 2, 2),
-                    padding=((1, 1), (3, 3), (3, 3)),
-                )(x)
+                # later layers use the same temporal-im2col 2-D conv: the
+                # 3-D conv forces a batch-minor activation layout on TPU
+                # that surrounds every relu/pool backward with transpose
+                # copies; all-2-D keeps the net in plain NHWC throughout
+                x = TemporalIm2ColConv(features=feats)(x)
             norm = norm_layer(self.net_norm, channels=feats, spatial_rank=3,
                               train=train)
             if norm is not None:

@@ -15,6 +15,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 
@@ -81,10 +82,26 @@ class TemporalIm2ColConv(nn.Module):
     conv3d dgrad/wgrad tile poorly at C_in=3), so ConvNet3D's first layer
     uses this. Kernel is stored in DHWIO layout like nn.Conv's so weight
     ports from the torch reference transpose identically.
+
+    When ``fuse_pool`` is set, the layer additionally folds the following
+    spatial (2,2) max-pool into the convolution via a 4x4 space-to-depth
+    reformulation: conv(s=2) + 2x2 pool == max over the 4 "phase" outputs
+    of a stride-4 conv, and with the input space-to-depth'd by 4 each
+    phase conv becomes a stride-1 3x3 conv whose taps index into the
+    16 packed sub-pixel channels. All four phases are stacked into one
+    (3,3,16*3C, 4*O) kernel so the whole first stage is ONE dense
+    stride-1 GEMM + a group-max — this deletes the XLA reduce-window
+    (5.3 ms on the 321 MB conv1 activation at the miniUCF101 shapes),
+    its select-and-scatter backward, and the layout copies around them,
+    which together were ~half of the MTT inner-step time on a v5e.
+    (Exactness: relu/pool commute with the monotonic max; bias is
+    per-output-channel so it commutes with the phase max; the caller
+    applies bias -> pool-max -> relu in that order.)
     """
 
     features: int
     use_bias: bool = True
+    fuse_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -93,22 +110,128 @@ class TemporalIm2ColConv(nn.Module):
         fan_in = C * 3 * 7 * 7
         kernel = self.param("kernel", torch_kaiming_uniform(),
                             (3, 7, 7, C, self.features))
+        # (3,7,7,C,O) -> (7,7,3*C,O): channel index = t_offset*C + c
+        w2 = kernel.transpose(1, 2, 0, 3, 4).reshape(7, 7, 3 * C,
+                                                     self.features)
+        bias = self.param("bias", torch_bias_uniform(fan_in),
+                          (self.features,)) if self.use_bias else None
+
+        if self.fuse_pool:
+            assert H % 4 == 0 and W % 4 == 0, (
+                "fuse_pool requires H, W divisible by 4")
+            y = _s2d4_conv_pool(x, w2, self.features)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            y = _phase_max(y)  # phase max == the (2,2) spatial pool
+            return y.reshape(B, F, H // 4, W // 4, self.features)
+
+        if C >= 16:
+            # wide layers: 3 per-tap 2-D convs + frame-shifted adds.
+            # Identical math to the channel-concat im2col, but skips
+            # materialising the 3x-wide concat input (and its scatter-add
+            # backward) — the temporal mixing becomes cheap shifted adds
+            # on the (4x smaller) conv outputs.
+            xf = x.reshape(B * F, H, W, C)
+            cs = []
+            for dt in range(3):
+                ci = jax.lax.conv_general_dilated(
+                    xf, kernel[dt].astype(xf.dtype), window_strides=(2, 2),
+                    padding=((3, 3), (3, 3)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                cs.append(ci.reshape(B, F, ci.shape[1], ci.shape[2],
+                                     self.features))
+            # y_t = w0*x_{t-1} + w1*x_t + w2*x_{t+1} (zero beyond ends)
+            zpad = ((0, 0), (0, 0), (0, 0), (0, 0), (0, 0))
+            y = (cs[1]
+                 + jnp.pad(cs[0][:, :-1], ((0, 0), (1, 0)) + zpad[2:])
+                 + jnp.pad(cs[2][:, 1:], ((0, 0), (0, 1)) + zpad[2:]))
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+
         xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
         xs = jnp.concatenate(
             [xp[:, 0:F], xp[:, 1:F + 1], xp[:, 2:F + 2]], axis=-1)
         xf = xs.reshape(B * F, H, W, 3 * C)
-        # (3,7,7,C,O) -> (7,7,3*C,O): channel index = t_offset*C + c
-        w2 = kernel.transpose(1, 2, 0, 3, 4).reshape(7, 7, 3 * C,
-                                                     self.features)
         y = jax.lax.conv_general_dilated(
             xf, w2.astype(xf.dtype), window_strides=(2, 2),
             padding=((3, 3), (3, 3)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        if self.use_bias:
-            bias = self.param("bias", torch_bias_uniform(fan_in),
-                              (self.features,))
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y.reshape(B, F, y.shape[1], y.shape[2], self.features)
+
+
+# phase/tap geometry for the fused 7x7 s2 conv + 2x2 pool: output (i, j)
+# of the pooled stage with pool phase a in {0,1} taps original rows
+# 4i + 2a - 3 + u (u in [0,7)); in padded (+4) 4x4-cell coordinates that
+# is cell i + (2a+1+u)//4, sub-row (2a+1+u) % 4. _U[dc, p, a] inverts the
+# map: the original tap index u for kernel cell-offset dc and sub-row p,
+# or 7 (a zero slot) when out of range.
+_U = np.full((3, 4, 2), 7, np.int32)
+for _dc in range(3):
+    for _p in range(4):
+        for _a in range(2):
+            _u = 4 * _dc + _p - (2 * _a + 1)
+            if 0 <= _u <= 6:
+                _U[_dc, _p, _a] = _u
+
+
+def _s2d4_conv_pool(x, w2, features: int):
+    """(B, F, H, W, C) x (7,7,3C,O) -> (B*F, H/4, W/4, 4, O): the four
+    (2,2)-pool-phase outputs of the stride-2 7x7 temporal-im2col conv,
+    as one stride-1 3x3 conv over a 4x4 space-to-depth view."""
+    B, F, H, W, C = x.shape
+    Ck = 3 * C
+    O = features
+    # kernel: zero-pad a 8th row/col as the invalid-tap slot, then gather
+    # into (dcy, py, a, dcx, px, b, Ck, O) and pack to (3,3,16*Ck,4*O)
+    w2p = jnp.pad(w2, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    Wg = w2p[_U[:, :, :, None, None, None], _U[None, None, None, :, :, :]]
+    Ws = Wg.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(3, 3, 16 * Ck, 4 * O)
+    # input: temporal im2col on the flat (B*F, H, W, 3C) view, then 4x4
+    # space-to-depth with (py, px, c) packing. Keeping every intermediate
+    # a low-rank flat tensor matters: an earlier 8-D stack/transpose
+    # variant triggered catastrophic XLA layout copies inside the scan.
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    xs = jnp.concatenate(
+        [xp[:, 0:F], xp[:, 1:F + 1], xp[:, 2:F + 2]], axis=-1)
+    xf = xs.reshape(B * F, H, W, Ck)
+    xpad = jnp.pad(xf, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    Hc, Wc = H // 4 + 2, W // 4 + 2
+    xv = xpad.reshape(B * F, Hc, 4, Wc, 4, Ck).transpose(
+        0, 1, 3, 2, 4, 5).reshape(B * F, Hc, Wc, 16 * Ck)
+    y = jax.lax.conv_general_dilated(
+        xv, Ws.astype(xv.dtype), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.reshape(B * F, H // 4, W // 4, 4, O)
+
+
+@jax.custom_jvp
+def _phase_max(y):
+    """Max over the pool-phase axis 3 of (B', Ho, Wo, 4, O).
+
+    custom_jvp so that reverse-mode only keeps the argmax as residual:
+    the default jnp.max VJP makes XLA rematerialise the (large) pre-max
+    conv output and run a 321 MB compare/select chain; here the tangent
+    is sum(t * onehot(argmax)) whose transpose is a pure elementwise
+    broadcast-multiply. Ties route the gradient to the first maximal
+    phase, matching torch's MaxPool2d convention."""
+    return jnp.max(y, axis=3)
+
+
+@_phase_max.defjvp
+def _phase_max_jvp(primals, tangents):
+    (y,), (t,) = primals, tangents
+    m = jnp.max(y, axis=3)
+    # u8 index: the broadcast-compare against the phase iota is pure
+    # bandwidth; at s32 XLA materialises a 4x larger intermediate
+    idx = jnp.argmax(y, axis=3).astype(jnp.uint8)
+    oh = (idx[:, :, :, None, :] ==
+          jnp.arange(y.shape[3], dtype=jnp.uint8)[None, None, None, :, None]
+          ).astype(t.dtype)
+    tm = jnp.sum(t * oh, axis=3)
+    return m, tm
 
 
 class TorchDense(nn.Module):
@@ -143,9 +266,30 @@ def activation(name: str):
 
 def max_pool(x, window: Sequence[int], strides: Sequence[int] | None = None):
     """VALID max-pool over the spatial dims of channels-last x (matches
-    torch's floor-division output shape)."""
-    strides = strides or window
-    return nn.max_pool(x, tuple(window), strides=tuple(strides), padding="VALID")
+    torch's floor-division output shape).
+
+    For stride==window pooling the reduction is decomposed into
+    successive per-axis pair-maxes (two strided slices + jnp.maximum per
+    halving): XLA fuses each into a single pass, while its reduce-window
+    kernel runs at a fraction of HBM bandwidth at these shapes and its
+    backward lowers to the slower select-and-scatter. (An all-axes-at-
+    once slice-max was also tried and regressed — 8-way max trees make
+    XLA materialise each slice; pairwise per-axis stays fused.)
+    """
+    strides = tuple(strides) if strides is not None else tuple(window)
+    window = tuple(window)
+    if strides == window and all(w in (1, 2) for w in window):
+        for axis, w in enumerate(window, start=1):
+            if w == 1:
+                continue
+            n = x.shape[axis] // 2
+            lo = [slice(None)] * x.ndim
+            hi = [slice(None)] * x.ndim
+            lo[axis] = slice(0, 2 * n, 2)
+            hi[axis] = slice(1, 2 * n, 2)
+            x = jnp.maximum(x[tuple(lo)], x[tuple(hi)])
+        return x
+    return nn.max_pool(x, window, strides=strides, padding="VALID")
 
 
 def avg_pool(x, window: Sequence[int], strides: Sequence[int] | None = None):

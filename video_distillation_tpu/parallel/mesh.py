@@ -21,8 +21,63 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _MESH: Optional[Mesh] = None
+_DISTRIBUTED = False
 
 DATA_AXIS = "data"
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Extend the mesh over DCN for multi-host runs.
+
+    The reference is strictly single-host (SURVEY.md §2.3: single-process
+    ``nn.DataParallel`` / ``jax.pmap``); the TPU-native scale-out is
+    ``jax.distributed.initialize`` + the SAME NamedSharding code path —
+    ``jax.devices()`` then returns the global device list, ``make_mesh``
+    spans hosts, and XLA routes the data-axis collectives over ICI within
+    a slice and DCN across slices. No other code changes: every step fn
+    in this framework is already written against the mesh.
+
+    Call before any other jax API. Arguments default to the standard env
+    vars (``JAX_COORDINATOR_ADDRESS``/``COORDINATOR_ADDRESS``,
+    ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``) and to TPU-pod automatic
+    detection when none are set. Returns True iff a multi-process runtime
+    was initialised (single-host runs are a silent no-op so every driver
+    can call this unconditionally).
+    """
+    global _DISTRIBUTED
+    import os
+
+    if _DISTRIBUTED:
+        return True
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        # no explicit cluster config: on TPU pods jax.distributed can
+        # auto-detect, but under a single chip / CPU test mesh this is a
+        # no-op single-process run
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _DISTRIBUTED = True
+    return True
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_coordinator() -> bool:
+    """True on the process that should write checkpoints/metrics (the
+    pmap-aware save-from-process-0 rule the reference FRePo uses —
+    ``FRePo/lib/training/utils.py:192-196``)."""
+    return jax.process_index() == 0
 
 
 def make_mesh(n_devices: Optional[int] = None,

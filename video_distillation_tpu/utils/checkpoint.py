@@ -27,10 +27,17 @@ except Exception:  # pragma: no cover
 
 def save_state(path: str, state: Any, step: int,
                host_rng: Optional[np.random.Generator] = None):
-    """Save a pytree + host RNG; path is a directory."""
+    """Save a pytree + host RNG; path is a directory.
+
+    Multi-host: only process 0 writes (the reference FRePo's pmap-aware
+    save-from-process-0 rule, ``FRePo/lib/training/utils.py:192-196``);
+    all processes still participate in the device_get of sharded arrays.
+    """
     path = os.path.abspath(path)
-    os.makedirs(path, exist_ok=True)
     state = jax.device_get(state)
+    if jax.process_index() != 0:
+        return
+    os.makedirs(path, exist_ok=True)
     if _HAVE_ORBAX:
         ckpt_dir = os.path.join(path, f"step_{step}")
         ckptr = ocp.PyTreeCheckpointer()
