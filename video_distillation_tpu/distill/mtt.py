@@ -55,6 +55,29 @@ def make_batch_plan(rng: np.random.Generator, n: int, batch_syn: int,
     return plan
 
 
+@jax.custom_vjp
+def take_rows(mat, idx):
+    """Row gather whose backward is a one-hot matmul instead of XLA's
+    scatter-add: the (k, n) one-hot times the (k, D) cotangent runs on
+    the MXU (~0.4 ms for the S2D dynamic memory) where the scatter ran
+    at ~36 GB/s (~11 ms). Forward is a plain gather (cheap both ways)."""
+    return mat[idx]
+
+
+def _take_rows_fwd(mat, idx):
+    return mat[idx], (idx, mat.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    idx, n = res
+    oh = jax.nn.one_hot(idx, n, dtype=g.dtype)  # (k, n)
+    gm = oh.T @ g  # (n, D) dense accumulation on the MXU
+    return gm, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 def flat_param_template(model_name: str, channel: int, num_classes: int,
                         im_size, frames: int, seed: int = 0):
     """(template_params, flat (P,), unravel_fn) — the JAX-native
@@ -198,7 +221,8 @@ def _build_mtt_step(model_name: str, channel: int, num_classes: int,
             # halves the scan-input HBM traffic; the model casts to cdt
             # anyway, and grads flow back through the cast into fp32 syn
             syn2d = syn.astype(cdt).reshape(syn.shape[0], -1)
-            batches_x = syn2d[safe].reshape(safe.shape + item)
+            batches_x = take_rows(syn2d, safe.reshape(-1)).reshape(
+                safe.shape + item)
             loss, aux = unroll(theta_start, theta_target, lr_scalar,
                                batches_x, batches_y, w, key)
             return loss, aux
@@ -248,12 +272,14 @@ def _build_s2d_mtt_step(model_name: str, channel: int, num_classes: int,
 
         def loss_fn(state, lr_scalar):
             st = state["static"]
-            static = st.reshape(st.shape[0], -1)[
-                s_idxs.reshape(-1)].reshape((-1,) + st.shape[1:])
+            static = take_rows(
+                st.reshape(st.shape[0], -1),
+                s_idxs.reshape(-1)).reshape((-1,) + st.shape[1:])
             dy = state["dynamic"]
             flat_idx = labels.reshape(-1) * dy.shape[1] + d_idxs.reshape(-1)
-            dynamic = dy.reshape(dy.shape[0] * dy.shape[1], -1)[
-                flat_idx].reshape((-1,) + dy.shape[2:])
+            dynamic = take_rows(
+                dy.reshape(dy.shape[0] * dy.shape[1], -1),
+                flat_idx).reshape((-1,) + dy.shape[2:])
             # compose + stage the unroll batches in the compute dtype
             cdt = jnp.bfloat16 if compute_dtype == "bfloat16" \
                 else jnp.float32

@@ -118,19 +118,26 @@ def run_mtt(cfg: DistillConfig, data, logger: MetricLogger):
 
     tracker = EvalTracker(cfg, data, logger, save_dir, save)
     timer = StepTimer()
+    # double-buffered expert segments: the NEXT θ_start/θ_target upload
+    # overlaps the current step's compute (see drivers/distill_s2d.py)
+    theta0, theta1, start_epoch = sampler.sample_segment(
+        cfg.max_start_epoch, cfg.expert_epochs)
+    seg_dev = (jnp.asarray(theta0), jnp.asarray(theta1), start_epoch)
     for it in range(start_it, cfg.Iteration + 1):
         if tracker.should_eval(it):
             tracker.maybe_eval(it, jax.random.fold_in(key, 10_000_000 + it),
                                holder["syn"], labels, float(syn_lr))
-        theta0, theta1, start_epoch = sampler.sample_segment(
-            cfg.max_start_epoch, cfg.expert_epochs)
+        theta0_dev, theta1_dev, start_epoch = seg_dev
         # plan sharded over the batch axis (padded with masked -1 entries,
         # never silently replicated)
         plan = pad_and_shard_plan(make_batch_plan(rng, n_syn, batch_syn,
                                                   cfg.syn_steps))
         out = step_fn(jax.random.fold_in(key, it), holder["syn"], labels,
-                      syn_lr, mom_img, mom_lr, jnp.asarray(theta0),
-                      jnp.asarray(theta1), plan)
+                      syn_lr, mom_img, mom_lr, theta0_dev,
+                      theta1_dev, plan)
+        theta0, theta1, next_start = sampler.sample_segment(
+            cfg.max_start_epoch, cfg.expert_epochs)
+        seg_dev = (jnp.asarray(theta0), jnp.asarray(theta1), next_start)
         holder["syn"], syn_lr, mom_img, mom_lr, loss, ploss, pdist = out
         timer.tick()
         if it % 50 == 0:

@@ -122,19 +122,27 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
             not cfg.no_train_static, cfg.train_lr, cfg.compute_dtype,
             cfg.second_order)
         from ..parallel import pad_and_shard_plan
+        # double-buffered expert segments: device_put of the NEXT
+        # θ_start/θ_target (2 x ~15 MB host->device) overlaps the current
+        # step's compute instead of serialising into each iteration
+        theta0, theta1, start_epoch = sampler.sample_segment(
+            cfg.max_start_epoch, cfg.expert_epochs)
+        seg_dev = (jnp.asarray(theta0), jnp.asarray(theta1), start_epoch)
         for it in range(start_it, cfg.Iteration + 1):
             if tracker.should_eval(it):
                 tracker.maybe_eval(
                     it, jax.random.fold_in(key, 10_000_000 + it), None,
                     None, float(holder["syn_lr"]), s2d_cfg=s2d_cfg,
                     s2d_state=holder["state"])
-            theta0, theta1, start_epoch = sampler.sample_segment(
-                cfg.max_start_epoch, cfg.expert_epochs)
+            theta0_dev, theta1_dev, start_epoch = seg_dev
             plan = pad_and_shard_plan(make_batch_plan(rng, n_syn, batch_syn,
                                                       cfg.syn_steps))
             out = step_fn(jax.random.fold_in(key, it), holder["state"],
                           holder["syn_lr"], moms, mom_lr,
-                          jnp.asarray(theta0), jnp.asarray(theta1), plan)
+                          theta0_dev, theta1_dev, plan)
+            theta0, theta1, next_start = sampler.sample_segment(
+                cfg.max_start_epoch, cfg.expert_epochs)
+            seg_dev = (jnp.asarray(theta0), jnp.asarray(theta1), next_start)
             holder["state"], holder["syn_lr"], moms, mom_lr = out[:4]
             loss, ploss, pdist = out[4:]
             timer.tick()

@@ -29,6 +29,11 @@ import jax.numpy as jnp
 from .layers import (TemporalIm2ColConv, TorchConv, activation, avg_pool,
                      flatten, max_pool, norm_layer)
 
+# perf escape hatch: the space-to-depth fused first stage trades 2.9x
+# conv1 FLOPs for layout sanity — a clear win for the bf16 second-order
+# MTT unroll, roughly neutral for fp32 eval. Flip for A/B measurements.
+FUSE_FIRST_STAGE = True
+
 
 class ConvNet3D(nn.Module):
     channel: int = 3
@@ -54,7 +59,8 @@ class ConvNet3D(nn.Module):
                 # with maxpooling + no norm the spatial (2,2) pool is
                 # additionally folded into the conv (space-to-depth) —
                 # the layer then emits bias->pool->relu-ready output
-                fuse = (self.net_pooling == "maxpooling"
+                fuse = (FUSE_FIRST_STAGE
+                        and self.net_pooling == "maxpooling"
                         and self.net_norm == "none"
                         and x.shape[2] % 4 == 0 and x.shape[3] % 4 == 0)
                 x = TemporalIm2ColConv(features=feats, fuse_pool=fuse)(x)
