@@ -51,12 +51,22 @@ def test_dm_step_decreases_loss(tiny_data):
                               batch_real=4, lr_img=1.0, frames=8)
     state = DMState(syn, labels, jnp.zeros_like(syn))
     rng = np.random.default_rng(0)
-    losses = []
+    # per-iteration losses are dominated by fresh-random-net variance
+    # (each DM step embeds with a new net — distill_baseline.py:334), so
+    # compare the loss under the SAME probe net before vs after training
+    probe = jax.random.PRNGKey(7)
+
+    def probe_loss(st):  # the trainer donates its buffers: probe a copy
+        st = DMState(jnp.array(st.syn_images, copy=True), st.labels,
+                     jnp.array(st.momentum, copy=True))
+        return float(trainer(probe, st, np.random.default_rng(1))[1])
+
+    loss_before = probe_loss(state)
     for it in range(20):
-        state, loss = trainer(jax.random.PRNGKey(100 + it), state, rng)
-        losses.append(loss)
-    # noise-initialised syn moving toward real feature means
-    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+        state, _ = trainer(jax.random.PRNGKey(100 + it), state, rng)
+    loss_after = probe_loss(state)
+    # noise-initialised syn moved toward the real feature means
+    assert float(loss_after) < float(loss_before)
     assert np.all(np.isfinite(np.asarray(state.syn_images)))
 
 

@@ -13,6 +13,33 @@ from .meta import DatasetMeta, IMAGENET_MEAN, IMAGENET_STD, register_meta
 from .store import ClipStore, RaggedFrameStore, VideoData
 
 
+def synthetic_kwargs_from_name(name: str) -> dict:
+    """Parse a parameterised synthetic dataset name.
+
+    ``synthetic[_c<classes>][_n<clips/class>][_t<test/class>][_f<frames>]
+    [_im<px>][_seed<s>]`` — e.g. ``synthetic_c10_n24_f8_im64`` is a
+    10-class, 24-clips-per-class, 8-frame, 64px set. Lets functional
+    validation runs at larger scales be plain CLI invocations.
+    """
+    kw = {}
+    for tok in name.split("_")[1:]:
+        if tok.startswith("im"):
+            kw["im_size"] = (int(tok[2:]), int(tok[2:]))
+        elif tok.startswith("seed"):
+            kw["seed"] = int(tok[4:])
+        elif tok.startswith("c"):
+            kw["num_classes"] = int(tok[1:])
+        elif tok.startswith("n"):
+            kw["clips_per_class"] = int(tok[1:])
+        elif tok.startswith("t"):
+            kw["test_per_class"] = int(tok[1:])
+        elif tok.startswith("f"):
+            kw["frames"] = int(tok[1:])
+        else:
+            raise ValueError(f"unknown synthetic-name token: {tok!r}")
+    return kw
+
+
 def make_synthetic_video_data(num_classes: int = 3, clips_per_class: int = 6,
                               test_per_class: int = 4, frames: int = 8,
                               im_size=(64, 64), test_video_len: int = 40,

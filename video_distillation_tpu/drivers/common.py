@@ -63,7 +63,9 @@ def load_data(cfg) -> VideoData:
     otherwise)."""
     name = cfg.dataset
     if name.startswith("synthetic"):
-        data = make_synthetic_video_data(name=name)
+        from ..data.synthetic import synthetic_kwargs_from_name
+        data = make_synthetic_video_data(name=name,
+                                         **synthetic_kwargs_from_name(name))
     else:
         packed = cfg.packed_path or os.path.join(cfg.data_path,
                                                  f"{name}_packed")
