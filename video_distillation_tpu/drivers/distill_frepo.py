@@ -37,7 +37,7 @@ def main(argv=None):
     p.add_argument("--num_prototypes_per_class", type=int, default=1)
     p.add_argument("--dpc", type=int, default=1)
     p.add_argument("--n_hal", type=int, default=1)
-    p.add_argument("--lr_d", type=float, default=1e3)
+    p.add_argument("--lr_d", type=float, default=1e2)  # FRePo/script/distill_s2d.py:420
     p.add_argument("--lr_h", type=float, default=1e-3)
     p.add_argument("--lr_net", type=float, default=3e-4)
     p.add_argument("--num_nn_state", type=int, default=10)
@@ -101,7 +101,10 @@ def main(argv=None):
     def evaluate(it):
         nonlocal best_acc
         state = carry[0]
-        x_syn = compose_eval(jax.random.fold_in(key, -it), state)
+        # NB: fold_in data must be non-negative (uint32); use a disjoint
+        # offset stream for the eval composition like the other drivers
+        x_syn = compose_eval(jax.random.fold_in(key, 10_000_000 + it),
+                             state)
         y_syn = np.asarray(state["y_syn"])
         # KRR (least-norm) accuracy against a random pool net's features
         el = pool.elements[pool.sample_idx(np_rng)]
