@@ -183,6 +183,11 @@ def generate_buffers(data: VideoData, cfg: BufferConfig,
 
 def load_buffers(buffer_path: str) -> list:
     """Load all replay_buffer_{n}.npz files (distill_baseline.py:122-128)."""
+    if not buffer_path:
+        raise AssertionError(
+            "MTT requires expert trajectories: pass --buffer_path pointing "
+            "at a directory of replay_buffer_{n}.npz files (generate them "
+            "with python -m video_distillation_tpu.drivers.buffer)")
     buffers = []
     n = 0
     while os.path.exists(os.path.join(buffer_path,
