@@ -46,6 +46,12 @@ def torch_bias_uniform(fan_in: int, dtype=jnp.float32):
     return init
 
 
+# A/B toggle for the wide-layer shifted-sum formulation (see
+# TemporalIm2ColConv); flip to False to take the channel-concat im2col
+# path instead for measurements.
+TEMPORAL_SUM_PATH = True
+
+
 class TorchConv(nn.Module):
     """nn.Conv with torch-default init (weight AND bias from fan_in bound)."""
 
@@ -125,7 +131,7 @@ class TemporalIm2ColConv(nn.Module):
             y = _phase_max(y)  # phase max == the (2,2) spatial pool
             return y.reshape(B, F, H // 4, W // 4, self.features)
 
-        if C >= 16:
+        if C >= 16 and TEMPORAL_SUM_PATH:
             # wide layers: 3 per-tap 2-D convs + frame-shifted adds.
             # Identical math to the channel-concat im2col, but skips
             # materialising the 3x-wide concat input (and its scatter-add
