@@ -1,0 +1,287 @@
+"""Head-to-head statistical parity: the reference's own distill_baseline.py
+(CPU torch) vs the TPU rebuild, on one shared tiny fixture.
+
+This is the bridge between one-step numeric goldens
+(tests/test_parity_golden.py) and real-data accuracy parity (SURVEY.md §6):
+both implementations distill the SAME synthetic-video corpus with the SAME
+hyperparameters, and we compare distilled-accuracy bands (mean +/- std over
+num_eval fresh nets, at matching iterations) and loss trajectories.
+
+The reference driver runs unmodified — ``main(args)`` from
+``/root/reference/distill_baseline.py`` — with ``get_dataset``
+monkeypatched to serve the shared fixture and wandb stubbed to capture its
+logged scalars (wandb IS the reference's metrics channel,
+distill_baseline.py:55-65).
+
+Usage: python scripts/parity_head2head.py [--quick] [--out PARITY_RUNS.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+REF = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+# ---------------------------------------------------------------------------
+# stubs: torchvision (absent in image) + wandb (capture channel)
+# ---------------------------------------------------------------------------
+
+def install_stubs():
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.datasets = types.SimpleNamespace()
+        tv.transforms = types.SimpleNamespace(
+            Compose=lambda *a, **k: None, ToTensor=lambda *a, **k: None,
+            Normalize=lambda *a, **k: None, Resize=lambda *a, **k: None,
+            CenterCrop=lambda *a, **k: None,
+            RandomCrop=lambda *a, **k: None)
+        tv.utils = types.SimpleNamespace()
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.datasets"] = tv.datasets
+        sys.modules["torchvision.transforms"] = tv.transforms
+        sys.modules["torchvision.utils"] = tv.utils
+
+    logged = []
+
+    class _Config:
+        _items = {}
+
+    wandb = types.ModuleType("wandb")
+    wandb.config = _Config()
+    wandb.run = types.SimpleNamespace(name="parity")
+    wandb._logged = logged
+
+    def init(config=None, **kw):
+        wandb.config._items = dict(vars(config)) if config else {}
+        return wandb.run
+
+    def log(scalars, step=None, **kw):
+        logged.append((step, dict(scalars)))
+
+    wandb.init = init
+    wandb.log = log
+    wandb.finish = lambda *a, **k: None
+    sys.modules["wandb"] = wandb
+    return wandb
+
+
+# ---------------------------------------------------------------------------
+# shared fixture -> torch datasets
+# ---------------------------------------------------------------------------
+
+def build_torch_datasets(data):
+    """Wrap the packed fixture in the reference's dataset contract:
+    items are (normalized float (F, C, H, W), label); train has .labels;
+    the test split resamples a temporal window per access
+    (dataset.py:432-435) and randomly hflips (:400-403)."""
+    import torch
+
+    meta = data.meta
+    mean = np.asarray(meta.mean, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(meta.std, np.float32).reshape(1, 3, 1, 1)
+
+    class TrainDS(torch.utils.data.Dataset):
+        labels = data.train.labels.tolist()
+
+        def __len__(self):
+            return len(data.train)
+
+        def __getitem__(self, i):
+            clip = data.train.clips[i].astype(np.float32) / 255.0
+            clip = (clip.transpose(0, 3, 1, 2) - mean) / std
+            return torch.from_numpy(clip), int(data.train.labels[i])
+
+    class TestDS(torch.utils.data.Dataset):
+        rng = np.random.default_rng(777)
+
+        def __len__(self):
+            return len(data.test)
+
+        def __getitem__(self, i):
+            from video_distillation_tpu.data.store import (clip_indices,
+                                                           sample_start)
+            o0, o1 = data.test.offsets[i], data.test.offsets[i + 1]
+            ln = int(o1 - o0)
+            start, skip = sample_start(self.rng, ln, meta.frames)
+            idx = o0 + np.clip(clip_indices(start, skip, meta.frames), 0,
+                               ln - 1)
+            clip = data.test.frames[idx].astype(np.float32) / 255.0
+            if self.rng.random() > 0.5:
+                clip = clip[:, :, ::-1]
+            clip = (np.ascontiguousarray(clip).transpose(0, 3, 1, 2)
+                    - mean) / std
+            return torch.from_numpy(clip), int(data.test.labels[i])
+
+    return TrainDS(), TestDS()
+
+
+def run_reference_dm(data, hp, wandb_stub):
+    """Run /root/reference/distill_baseline.py main() unmodified (DM)."""
+    import torch
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import distill_baseline as ref_driver  # noqa
+
+    meta = data.meta
+    dst_train, dst_test = build_torch_datasets(data)
+    testloader = torch.utils.data.DataLoader(dst_test, batch_size=64,
+                                             shuffle=False, num_workers=0)
+
+    def fake_get_dataset(dataset, data_path):
+        return (3, tuple(meta.im_size), meta.num_classes, None,
+                list(meta.mean), list(meta.std), dst_train, dst_test,
+                testloader)
+
+    args = argparse.Namespace(
+        dataset="parity-fixture", method="DM", model="ConvNet3D",
+        ipc=hp["ipc"], eval_mode="S", outer_loop=1, inner_loop=1,
+        num_eval=hp["num_eval"], eval_it=hp["eval_it"],
+        epoch_eval_train=hp["epoch_eval_train"],
+        Iteration=hp["Iteration"], lr_net=hp["lr_net"],
+        lr_img=hp["lr_img"], lr_lr=1e-5, lr_teacher=0.01, train_lr=False,
+        batch_real=hp["batch_real"], batch_train=hp["batch_train"],
+        batch_syn=None, init="real", data_path="", expert_epochs=1,
+        syn_steps=1, max_start_epoch=1, dis_metric="ours",
+        buffer_path=None, num_workers=0, preload=False,
+        save_path="/tmp/parity_ref", frames=meta.frames)
+
+    np.random.seed(hp["seed"])
+    torch.manual_seed(hp["seed"])
+    wandb_stub._logged.clear()
+    orig = ref_driver.get_dataset
+    ref_driver.get_dataset = fake_get_dataset
+    try:
+        t0 = time.time()
+        ref_driver.main(args)
+        wall = time.time() - t0
+    finally:
+        ref_driver.get_dataset = orig
+
+    accs, stds, losses = {}, {}, {}
+    for step, scalars in wandb_stub._logged:
+        if "Accuracy/ConvNet3D" in scalars:
+            accs[step] = float(scalars["Accuracy/ConvNet3D"])
+        if "Std/ConvNet3D" in scalars:
+            stds[step] = float(scalars["Std/ConvNet3D"])
+        if "Loss" in scalars:
+            losses[step] = float(scalars["Loss"])
+    return {"acc": accs, "std": stds, "loss": losses, "wall_sec": wall}
+
+
+def run_rebuild_dm(data, hp):
+    """The rebuild's DM loop at identical hyperparameters."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_distillation_tpu.distill.dm import (DMState,
+                                                   init_synthetic_raw,
+                                                   make_dm_trainer)
+    from video_distillation_tpu.distill.evaluate import (EvalConfig,
+                                                         evaluate_many)
+
+    rng = np.random.default_rng(hp["seed"])
+    test_rng = np.random.default_rng(hp["seed"] + 123)
+    key = jax.random.PRNGKey(hp["seed"])
+    syn, labels = init_synthetic_raw(key, data.train, hp["ipc"],
+                                     data.meta.frames, "real", rng)
+    state = DMState(syn, labels, jnp.zeros_like(syn))
+    trainer = make_dm_trainer(data.train, "ConvNet3D", hp["ipc"],
+                              hp["batch_real"], hp["lr_img"],
+                              data.meta.frames, "float32")
+    ecfg = EvalConfig(model="ConvNet3D",
+                      epoch_eval_train=hp["epoch_eval_train"],
+                      lr_net=hp["lr_net"], batch_train=hp["batch_train"])
+    accs, stds, losses = {}, {}, {}
+    t0 = time.time()
+    for it in range(hp["Iteration"] + 1):
+        if it % hp["eval_it"] == 0:
+            _, mean, std = evaluate_many(
+                jax.random.fold_in(key, 10_000_000 + it), hp["num_eval"],
+                state.syn_images, np.asarray(state.labels), data, ecfg,
+                test_rng)
+            accs[it], stds[it] = mean, std
+            print(f"[rebuild] it={it} acc={mean:.4f}+-{std:.4f}")
+        if it == hp["Iteration"]:
+            break
+        state, loss = trainer(jax.random.fold_in(key, it), state, rng)
+        if it % hp["eval_it"] == 0:
+            losses[it] = float(loss) / data.meta.num_classes
+    return {"acc": accs, "std": stds, "loss": losses,
+            "wall_sec": time.time() - t0}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--json", default="/tmp/parity_dm.json")
+    args = ap.parse_args()
+
+    wandb_stub = install_stubs()
+
+    from video_distillation_tpu.data import make_synthetic_video_data
+
+    if args.quick:
+        hp = dict(ipc=1, num_eval=2, eval_it=10, epoch_eval_train=10,
+                  Iteration=20, lr_net=0.01, lr_img=1.0, batch_real=4,
+                  batch_train=64, seed=0)
+        data = make_synthetic_video_data(num_classes=3, clips_per_class=6,
+                                         test_per_class=3, frames=8,
+                                         im_size=(64, 64),
+                                         name="parity-quick")
+    else:
+        hp = dict(ipc=1, num_eval=3, eval_it=50, epoch_eval_train=50,
+                  Iteration=150, lr_net=0.01, lr_img=1.0, batch_real=8,
+                  batch_train=64, seed=0)
+        data = make_synthetic_video_data(num_classes=4, clips_per_class=25,
+                                         test_per_class=5, frames=8,
+                                         im_size=(64, 64), name="parity4")
+
+    print("=== rebuild DM ===")
+    ours = run_rebuild_dm(data, hp)
+    print("=== reference DM (torch CPU) ===")
+    import torch
+    torch.set_num_threads(os.cpu_count() or 8)
+    ref = run_reference_dm(data, hp, wandb_stub)
+
+    report = {"hp": hp, "reference": ref, "rebuild": ours}
+    with open(args.json, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+    if args.out:
+        lines = ["# DM head-to-head: reference driver vs rebuild",
+                 "", f"Shared fixture: {data.meta.name} "
+                 f"({data.meta.num_classes} classes, "
+                 f"{len(data.train)} train clips, "
+                 f"{data.meta.im_size[0]}px x {data.meta.frames}f); "
+                 f"hyperparameters: {hp}", "",
+                 "| iter | reference top-1 | rebuild top-1 | bands overlap |",
+                 "|---|---|---|---|"]
+        for it in sorted(ours["acc"]):
+            ra, rs = ref["acc"].get(it), ref["std"].get(it, 0.0)
+            oa, os_ = ours["acc"][it], ours["std"][it]
+            if ra is None:
+                continue
+            overlap = abs(ra - oa) <= (rs + os_ + 1e-9)
+            lines.append(f"| {it} | {ra:.4f} +- {rs:.4f} | "
+                         f"{oa:.4f} +- {os_:.4f} | "
+                         f"{'yes' if overlap else 'NO'} |")
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

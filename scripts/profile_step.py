@@ -1,0 +1,131 @@
+"""Profile the S2D-MTT outer step on the TPU and print a per-op breakdown.
+
+Usage: python scripts/profile_step.py [--steps 4] [--logdir /tmp/prof]
+
+Parses the jax.profiler trace (the axon device timeline lives under the
+TPU pid in trace.json.gz) and aggregates device-op durations by fusion
+name, dividing by the number of profiled steps. This is the measurement
+loop behind the CLAUDE.md per-op budgets — single-op microbenches are
+useless here (relay fetch overhead + XLA DCE), so we always trace the
+real graph.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import dataclasses
+import glob
+import gzip
+import json
+import os
+import time
+
+
+def run_steps(steps: int, logdir: str, syn_steps: int = 10):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_distillation_tpu.distill.mtt import (_build_s2d_mtt_step,
+                                                    flat_param_template,
+                                                    make_batch_plan)
+    from video_distillation_tpu.distill.s2d import S2DConfig, init_s2d_state
+
+    num_classes, frames, im = 50, 16, (112, 112)
+    s2d_cfg = S2DConfig(num_classes=num_classes, spc=2, dpc=2, vpc=1,
+                        n_hal=1, frames=frames, im_size=im)
+    state = init_s2d_state(jax.random.PRNGKey(0), s2d_cfg)
+    _, _, flat0, _ = flat_param_template("ConvNet3D", 3, num_classes, im,
+                                         frames, seed=0)
+    _, _, flat1, _ = flat_param_template("ConvNet3D", 3, num_classes, im,
+                                         frames, seed=1)
+    s2d_items = tuple(sorted(dataclasses.asdict(s2d_cfg).items()))
+    step_fn = _build_s2d_mtt_step(
+        "ConvNet3D", 3, num_classes, im, frames, syn_steps=syn_steps,
+        s2d_items=s2d_items, lr_static=100.0, lr_dynamic=0.01, lr_hal=0.01,
+        lr_lr=1e-5, train_static=False, train_lr=True,
+        compute_dtype="bfloat16")
+
+    n_syn = num_classes
+    rng = np.random.default_rng(0)
+    moms = jax.tree.map(jnp.zeros_like, state)
+    syn_lr = jnp.asarray(0.01)
+    mom_lr = jnp.zeros(())
+    theta0 = jnp.asarray(flat0)
+    theta1 = jnp.asarray(flat1)
+
+    def run(i, state, syn_lr, moms, mom_lr):
+        plan = jnp.asarray(make_batch_plan(rng, n_syn, n_syn, syn_steps))
+        out = step_fn(jax.random.fold_in(jax.random.PRNGKey(1), i), state,
+                      syn_lr, moms, mom_lr, theta0, theta1, plan)
+        return out[0], out[1], out[2], out[3], out[4]
+
+    for i in range(3):
+        state, syn_lr, moms, mom_lr, loss = run(i, state, syn_lr, moms,
+                                                mom_lr)
+        print(f"warmup {i}: loss={float(loss):.4f}")
+    t0 = time.perf_counter()
+    jax.profiler.start_trace(logdir)
+    for i in range(steps):
+        state, syn_lr, moms, mom_lr, loss = run(10 + i, state, syn_lr,
+                                                moms, mom_lr)
+    final = float(loss)  # host fetch = true sync on axon
+    jax.profiler.stop_trace()
+    dt = time.perf_counter() - t0
+    print(f"{steps} steps in {dt:.3f}s -> {steps / dt:.3f} steps/s "
+          f"(loss={final:.4f})")
+    return dt
+
+
+def parse_trace(logdir: str, steps: int, top: int = 40):
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime)
+    if not paths:
+        print("no trace found under", logdir)
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    # identify the device pid: process with the most complete-events
+    # carrying XLA op names (host pids carry python/runtime frames)
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    per_pid = collections.Counter(
+        e["pid"] for e in events if e.get("ph") == "X")
+    print("pids:", {p: (pid_names.get(p, "?"), c)
+                    for p, c in per_pid.most_common(6)})
+    dev_pids = [p for p, name in pid_names.items()
+                if "TPU" in name or "/device" in name.lower()]
+    if not dev_pids:
+        dev_pids = [per_pid.most_common(1)[0][0]]
+    agg = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e["pid"] not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        dur = e.get("dur", 0) / 1e6  # us -> s
+        agg[name] += dur
+        total += dur
+    print(f"\ndevice total {total:.3f}s over {steps} steps "
+          f"({total / steps * 1e3:.1f} ms/step)\n")
+    print(f"{'ms/step':>9}  {'%':>5}  op")
+    for name, dur in agg.most_common(top):
+        print(f"{dur / steps * 1e3:9.2f}  {100 * dur / total:5.1f}  "
+              f"{name[:110]}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--syn_steps", type=int, default=10)
+    ap.add_argument("--logdir", default="/tmp/prof")
+    ap.add_argument("--parse-only", action="store_true")
+    args = ap.parse_args()
+    if not args.parse_only:
+        run_steps(args.steps, args.logdir, args.syn_steps)
+    parse_trace(args.logdir, args.steps)

@@ -61,10 +61,21 @@ print(f"proc {pid}: OK global_sum=22.0")
 """
 
 
+def _free_port() -> str:
+    """Bind an ephemeral port and release it — avoids flaking on a
+    hard-coded port already held by a leftover listener or a parallel
+    test run."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
 def test_two_process_mesh_psum(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
-    port = "52431"
+    port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     procs = [

@@ -155,3 +155,31 @@ def test_distributed_helpers_single_host():
     assert init_distributed() is False
     assert process_index() == 0
     assert is_coordinator() is True
+
+
+def test_sharded_eval_train_scan_matches_single_device():
+    """The eval training scan shards its batch axis over the mesh
+    (evaluate.py _build_train_fn); with a mesh-divisible batch the
+    numerics equal the 1-device run exactly (same RNG, same graph —
+    only the sharding constraint differs)."""
+    from video_distillation_tpu.distill.evaluate import (EvalConfig,
+                                                         _build_train_fn)
+    from video_distillation_tpu.parallel import make_mesh
+
+    num_classes, frames, im, n_syn = 4, 8, (64, 64), 8
+    cfg = EvalConfig(model="ConvNet3D", epoch_eval_train=3, lr_net=0.01,
+                     batch_train=8)
+    syn = jax.random.normal(jax.random.PRNGKey(0),
+                            (n_syn, frames) + im + (3,))
+    labels = np.repeat(np.arange(num_classes), n_syn // num_classes)
+    key = jax.random.PRNGKey(1)
+    outs = {}
+    for n_dev in (1, 8):
+        train_fn, _ = _build_train_fn("ConvNet3D", 3, num_classes, im,
+                                      frames, n_syn, cfg, None,
+                                      mesh=make_mesh(n_dev))
+        params, acc_train, loss = train_fn(key, syn,
+                                           np.asarray(labels, np.int32))
+        outs[n_dev] = (np.asarray(loss), float(acc_train))
+    np.testing.assert_allclose(outs[1][0], outs[8][0], rtol=2e-5)
+    assert outs[1][1] == outs[8][1]

@@ -106,6 +106,8 @@ class BufferConfig:
     # bf16 conv compute with fp32 master weights — ~4x the fp32 epoch
     # throughput; snapshots stay fp32 (see PARITY.md)
     compute_dtype: str = "bfloat16"
+    # row-shard the uint8 clip store over the mesh (K400-scale corpora)
+    shard_store: bool = False
 
 
 _PRESETS = {

@@ -128,7 +128,8 @@ def train_expert(key, store: ClipStore, cfg: BufferConfig,
     epoch_fn = _build_epoch_fn(cfg.model, meta.channel, meta.num_classes,
                                tuple(meta.im_size), cfg.frames, batch, nb,
                                cfg.mom, cfg.l2, True, cfg.compute_dtype)
-    clips_dev = replicate_array(store.device_clips())
+    clips_dev = (store.device_clips(sharded=True) if cfg.shard_store
+                 else replicate_array(store.device_clips()))
     labels_dev = replicate_array(store.labels)
     norm_mean = jnp.asarray(meta.mean, jnp.float32) * 255.0
     norm_std = jnp.asarray(meta.std, jnp.float32) * 255.0
@@ -184,7 +185,7 @@ def generate_buffers(data: VideoData, cfg: BufferConfig,
 def load_buffers(buffer_path: str) -> list:
     """Load all replay_buffer_{n}.npz files (distill_baseline.py:122-128)."""
     if not buffer_path:
-        raise AssertionError(
+        raise ValueError(
             "MTT requires expert trajectories: pass --buffer_path pointing "
             "at a directory of replay_buffer_{n}.npz files (generate them "
             "with python -m video_distillation_tpu.drivers.buffer)")
@@ -196,5 +197,5 @@ def load_buffers(buffer_path: str) -> list:
             os.path.join(buffer_path, f"replay_buffer_{n}.npz")))
         n += 1
     if not buffers:
-        raise AssertionError(f"No buffers detected at {buffer_path}")
+        raise FileNotFoundError(f"No buffers detected at {buffer_path}")
     return buffers

@@ -157,13 +157,22 @@ def _eval_slot_draw(key, idx, spc, dpc, n_hal):
 @functools.lru_cache(maxsize=32)
 def _build_train_fn(model_name: str, channel: int, num_classes: int,
                     im_size: Tuple[int, int], frames: int, n_syn: int,
-                    cfg: EvalConfig, s2d_key: Optional[tuple]):
-    """Compile the full synthetic-training run as one jitted scan."""
+                    cfg: EvalConfig, s2d_key: Optional[tuple],
+                    mesh=None):
+    """Compile the full synthetic-training run as one jitted scan.
+
+    The per-step batch axis is -1-padded to a multiple of the mesh and
+    sharded over it, so the dominant eval phase data-parallelises on a
+    real multi-chip mesh (the padded columns carry weight 0; numerics
+    equal the single-device run — test_sharding.py)."""
     model_def = create_model(model_name, channel, num_classes, im_size,
                              frames)
     epochs = cfg.epoch_eval_train + 1
     bt = min(cfg.batch_train, n_syn)
     nb = _cdiv(n_syn, bt)
+    if mesh is None:
+        from ..parallel import get_mesh
+        mesh = get_mesh()
     drop_epoch = cfg.epoch_eval_train // 2 + 1
     s2d_cfg = None
     if s2d_key is not None:
@@ -198,6 +207,18 @@ def _build_train_fn(model_name: str, channel: int, num_classes: int,
         batch_idx = perms.reshape(epochs * nb, bt)
 
         steps = epochs * nb
+        ndev = mesh.devices.size
+        if ndev > 1:
+            pad_b = (-bt) % ndev
+            if pad_b:
+                batch_idx = jnp.concatenate(
+                    [batch_idx,
+                     jnp.full((steps, pad_b), -1, batch_idx.dtype)], axis=1)
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import DATA_AXIS
+            batch_idx = jax.lax.with_sharding_constraint(
+                batch_idx, NamedSharding(mesh, PartitionSpec(None,
+                                                             DATA_AXIS)))
         epoch_of_step = jnp.arange(steps) // nb
         if cfg.optimizer == "adamw":
             # torch LinearLR(0.01->1 over 10% of epochs) chained with

@@ -71,7 +71,10 @@ class FRePoConfig:
     im_size: Tuple[int, int] = (112, 112)
     n_hal: int = 1
     hal_mode: str = "concat"
-    lr_d: float = 1e3
+    # lr_d default matches the reference driver's tuned value
+    # (FRePo/script/distill_s2d.py:420 argparse default, scaled); 1e3 was
+    # measured to collapse the KRR prediction (commit a1c98d8)
+    lr_d: float = 1e2
     lr_h: float = 1e-3
     lr_net: float = 3e-4
     num_nn_state: int = 10
@@ -197,12 +200,19 @@ def krr_evaluate(model_def, params, x_syn, y_syn, test_clips_u8,
 
 
 def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
-                       key, path_static: Optional[np.ndarray] = None):
+                       key, path_static: Optional[np.ndarray] = None,
+                       shard_store: bool = False):
     """Builds the full FRePo S2D training closure.
 
     Returns (state, step_fn) where step_fn(key, state, np_rng) runs one
     outer iteration (proto update + one pool-element online step) and
     returns (state, metrics).
+
+    Data-parallel over the mesh: the real batch index plan is -1-padded
+    and sharded over the data axis (the masked MSE mean makes XLA psum
+    the proto gradients over ICI — the NamedSharding equivalent of the
+    reference's ``lax.pmean`` pmap, frepo.py:186-188,235-241); the pool's
+    online batch is likewise sharded when divisible.
     """
     meta = store.meta
     model_def = create_model(model_name, meta.channel, cfg.num_classes,
@@ -264,10 +274,14 @@ def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
         labels_map)
     opt_state = tx.init(state)
 
+    from ..parallel import (data_sharding, get_mesh, pad_and_shard_plan,
+                            replicate_array)
+
     norm_mean = jnp.asarray(meta.mean, jnp.float32) * 255.0
     norm_std = jnp.asarray(meta.std, jnp.float32) * 255.0
-    clips_dev = store.device_clips()
-    y_train = jnp.asarray(frepo_labels(store.labels, cfg.num_classes))
+    clips_dev = (store.device_clips(sharded=True) if shard_store
+                 else replicate_array(store.device_clips()))
+    y_train = replicate_array(frepo_labels(store.labels, cfg.num_classes))
 
     def compose(state, hal_choice):
         """All prototypes: static_idx=i, dynamic_idx=i%dpc
@@ -287,16 +301,20 @@ def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
 
     @jax.jit
     def proto_step(key, state, opt_state, pool_params, real_idx):
+        # real_idx is a -1-padded, mesh-sharded plan; padded rows carry
+        # weight 0 so the masked mean equals the unpadded batch mean
         kh = jax.random.split(key, 1)[0]
         hal_choice = jax.random.randint(
             kh, (cfg.num_classes * cfg.dpc,), 0, max(1, cfg.n_hal))
-        real = clips_dev[real_idx].reshape(
+        w = (real_idx >= 0).astype(jnp.float32)
+        safe = jnp.maximum(real_idx, 0)
+        real = clips_dev[safe].reshape(
             (-1,) + tuple(store.item_shape))
         x_tar = (real.astype(jnp.float32) - norm_mean) / norm_std
         feat_tar = model_def.apply({"params": pool_params}, x_tar,
                                    train=False, output="feat")
         feat_tar = jax.lax.stop_gradient(feat_tar)
-        y_tar = y_train[real_idx]
+        y_tar = y_train[safe]
 
         def loss_fn(st):
             x_syn = compose(st, hal_choice)
@@ -305,7 +323,8 @@ def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
             y_s = st["y_syn"] if cfg.learn_label else \
                 jax.lax.stop_gradient(st["y_syn"])
             pred = nfr(feat_tar, feat_syn, y_s, cfg.reg)
-            ln = jnp.sum((pred - y_tar) ** 2, axis=-1).mean()
+            sq = jnp.sum((pred - y_tar) ** 2, axis=-1)
+            ln = jnp.sum(sq * w) / jnp.maximum(jnp.sum(w), 1.0)
             lb = lb_margin_th(y_s).mean()
             return ln + lb, (ln, lb)
 
@@ -338,14 +357,20 @@ def make_frepo_trainer(store: ClipStore, model_name: str, cfg: FRePoConfig,
 
     def step(key, carry, np_rng: np.random.Generator):
         state, opt_state = carry
-        real_idx = jnp.asarray(np_rng.choice(
+        real_idx = pad_and_shard_plan(np_rng.choice(
             len(store), size=min(cfg.batch_real, len(store)),
-            replace=False))
+            replace=False).astype(np.int32))
         idx = pool.sample_idx(np_rng)
         el_params = pool.elements[idx]["params"]
         state, opt_state, loss, ln, lb = proto_step(
             key, state, opt_state, el_params, real_idx)
         x_syn = compose_eval(jax.random.fold_in(key, 3), state)
+        # shard the composed prototypes over their batch axis when it
+        # divides the mesh (never a feature axis — that would split the
+        # conv spatial/temporal dims)
+        mesh = get_mesh()
+        if mesh.devices.size > 1 and x_syn.shape[0] % mesh.devices.size == 0:
+            x_syn = jax.device_put(x_syn, data_sharding(mesh))
         y_syn_det = jax.lax.stop_gradient(state["y_syn"])
         pool.train_step(idx, x_syn, y_syn_det, np_rng, pool_train_step)
         return (state, opt_state), {"loss": float(loss),

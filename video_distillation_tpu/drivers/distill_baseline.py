@@ -22,6 +22,7 @@ from ..distill.dm import DMState, init_synthetic_raw, make_dm_trainer
 from ..distill.mtt import ExpertSampler, _build_mtt_step, make_batch_plan
 from ..parallel import pad_and_shard_plan
 from ..utils.checkpoint import restore_state, save_artifact, save_state
+from ..utils.visualize import save_video_grid
 from ..utils.logging import MetricLogger, StepTimer
 from .common import EvalTracker, load_data, parse_config_args
 
@@ -56,6 +57,10 @@ def run_dm(cfg: DistillConfig, data, logger: MetricLogger):
         save_artifact(save_dir, f"images_{it}", state.syn_images)
         if best:
             save_artifact(save_dir, "images_best", state.syn_images)
+        save_video_grid(os.path.join(save_dir, "png",
+                                     f"videos_{str(it).zfill(6)}.png"),
+                        np.asarray(state.syn_images),
+                        mean=data.meta.mean, std=data.meta.std)
 
     tracker = EvalTracker(cfg, data, logger, save_dir, save)
     timer = StepTimer()
@@ -115,6 +120,10 @@ def run_mtt(cfg: DistillConfig, data, logger: MetricLogger):
         save_artifact(save_dir, f"images_{it}", holder["syn"])
         if best:
             save_artifact(save_dir, "images_best", holder["syn"])
+        save_video_grid(os.path.join(save_dir, "png",
+                                     f"videos_{str(it).zfill(6)}.png"),
+                        np.asarray(holder["syn"]),
+                        mean=data.meta.mean, std=data.meta.std)
 
     tracker = EvalTracker(cfg, data, logger, save_dir, save)
     timer = StepTimer()

@@ -50,6 +50,11 @@ def main(argv=None):
     p.add_argument("--batch_train", type=int, default=256)
     p.add_argument("--eval_ema_decay", type=float, default=0.995)
     p.add_argument("--learn_label", action="store_true")
+    p.add_argument("--eval_mode", default="S",
+                   help="eval pool selector (FRePo/script/distill_s2d.py"
+                        ":403); each pool model is evaluated per eval step")
+    p.add_argument("--shard_store", action="store_true",
+                   help="row-shard the uint8 clip store over the mesh")
     p.add_argument("--data_path", default="data")
     p.add_argument("--save_path", default="./logged_files")
     p.add_argument("--frames", type=int, default=16)
@@ -70,7 +75,8 @@ def main(argv=None):
     static = np.load(args.path_static) if args.path_static else None
     key = jax.random.PRNGKey(args.seed)
     carry, step, pool, compose_eval = make_frepo_trainer(
-        data.train, args.model, cfg, key, static)
+        data.train, args.model, cfg, key, static,
+        shard_store=args.shard_store)
 
     save_dir = os.path.join(args.save_path, f"FRePo_{args.dataset}")
     ckpt_dir = os.path.join(save_dir, "ckpt")
@@ -80,18 +86,22 @@ def main(argv=None):
     test_rng = np.random.default_rng(args.seed + 123)
     timer = StepTimer()
 
+    from ..models.registry import get_eval_pool
+
+    eval_pool = get_eval_pool(args.eval_mode, args.model)
     state, opt_state = carry
-    best_acc = 0.0
+    best_acc = {m: 0.0 for m in eval_pool}
     start_it = 1
     restored = restore_state(ckpt_dir, {
         "state": state, "opt_state": opt_state,
-        "pool": pool.state_dict(), "best_acc": np.zeros(())})
+        "pool": pool.state_dict(),
+        "best_acc": np.zeros(len(eval_pool))})
     if restored is not None:
         st, start_it, rng_state = restored
         state = jax.tree.map(jnp.asarray, st["state"])
         opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
         pool.load_state_dict(st["pool"])
-        best_acc = float(st["best_acc"])
+        best_acc = dict(zip(eval_pool, np.asarray(st["best_acc"]).tolist()))
         if rng_state:
             np_rng.bit_generator.state = rng_state
         start_it += 1
@@ -99,7 +109,6 @@ def main(argv=None):
     carry = (state, opt_state)
 
     def evaluate(it):
-        nonlocal best_acc
         state = carry[0]
         # NB: fold_in data must be non-negative (uint32); use a disjoint
         # offset stream for the eval composition like the other drivers
@@ -112,23 +121,39 @@ def main(argv=None):
             pool.model_def, el["params"], x_syn, state["y_syn"],
             data.test.sample_clips(test_rng, flip=meta.frames > 1),
             data.test.labels, meta.mean, meta.std, reg=cfg.reg)
-        # NN accuracy: FRePo protocol (AdamW + MSE soft labels + param EMA)
-        ecfg = EvalConfig(model=args.model,
-                          epoch_eval_train=args.epoch_eval_train,
-                          lr_net=args.lr_net,
-                          batch_train=args.batch_train,
-                          optimizer="adamw", loss="mse",
-                          standardize=False, test_repeats=1,
-                          ema_decay=args.eval_ema_decay)
-        _, mean, std = evaluate_many(jax.random.fold_in(key, it),
-                                     args.num_eval, x_syn, y_syn, data,
-                                     ecfg, test_rng)
-        logger.log({"Accuracy": mean, "Std": std,
-                    "KRR_Accuracy": krr_acc}, step=it)
-        if mean > best_acc:
-            best_acc = mean
-            save_artifact(save_dir, "x_proto_best", x_syn)
-            save_pytree_artifact(save_dir, "state_best", state)
+        # NN accuracy per eval-pool model (FRePo protocol: AdamW + MSE
+        # soft labels + param EMA), looping model_eval_pool like the
+        # reference driver (FRePo/script/distill_s2d.py:296-315)
+        scalars = {"KRR_Accuracy": krr_acc}
+        for model_eval in eval_pool:
+            ecfg = EvalConfig(model=model_eval,
+                              epoch_eval_train=args.epoch_eval_train,
+                              lr_net=args.lr_net,
+                              batch_train=args.batch_train,
+                              optimizer="adamw", loss="mse",
+                              standardize=False, test_repeats=1,
+                              ema_decay=args.eval_ema_decay)
+            _, mean, std = evaluate_many(jax.random.fold_in(key, it),
+                                         args.num_eval, x_syn, y_syn, data,
+                                         ecfg, test_rng)
+            if mean > best_acc[model_eval]:
+                best_acc[model_eval] = mean
+                if model_eval == args.model:
+                    save_artifact(save_dir, "x_proto_best", x_syn)
+                    save_pytree_artifact(save_dir, "state_best", state)
+                    from ..utils.visualize import (save_image_grid,
+                                                   save_video_grid)
+                    png = os.path.join(save_dir, "png",
+                                       f"proto_{str(it).zfill(6)}.png")
+                    x_np = np.asarray(x_syn)
+                    if x_np.ndim == 5:
+                        save_video_grid(png, x_np, meta.mean, meta.std)
+                    else:
+                        save_image_grid(png, x_np, meta.mean, meta.std)
+            scalars[f"Accuracy/{model_eval}"] = mean
+            scalars[f"Std/{model_eval}"] = std
+            scalars[f"Max_Accuracy/{model_eval}"] = best_acc[model_eval]
+        logger.log(scalars, step=it)
 
     for it in range(start_it, cfg.Iteration + 1):
         carry, metrics = step(jax.random.fold_in(key, it), carry, np_rng)
@@ -142,7 +167,8 @@ def main(argv=None):
             save_state(ckpt_dir, {
                 "state": carry[0], "opt_state": carry[1],
                 "pool": pool.state_dict(),
-                "best_acc": np.asarray(best_acc)}, it, np_rng)
+                "best_acc": np.asarray([best_acc[m] for m in eval_pool])},
+                it, np_rng)
     logger.finish()
 
 

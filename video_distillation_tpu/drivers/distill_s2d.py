@@ -18,9 +18,10 @@ from ..config import DistillConfig
 from ..distill.buffer import load_buffers
 from ..distill.dm import init_s2d_momentum, make_s2d_dm_trainer
 from ..distill.mtt import ExpertSampler, _build_s2d_mtt_step, make_batch_plan
-from ..distill.s2d import S2DConfig, init_s2d_state
+from ..distill.s2d import S2DConfig, compose_synthetic, init_s2d_state
 from ..utils.checkpoint import (restore_state, save_artifact,
                                 save_pytree_artifact, save_state)
+from ..utils.visualize import save_s2d_grids
 from ..utils.logging import MetricLogger, StepTimer
 from .common import EvalTracker, load_data, parse_config_args
 
@@ -83,6 +84,13 @@ def run(cfg: DistillConfig, data, logger: MetricLogger):
             save_pytree_artifact(save_dir, "hal_best", st["hals"])
             if not cfg.no_train_static:
                 save_artifact(save_dir, "images_best", st["static"])
+        # PNG grids for inspection (reference capability:
+        # FRePo/lib/datadistillation/utils.py:40-118)
+        videos, _ = compose_synthetic(jax.random.PRNGKey(it), st, s2d_cfg)
+        save_s2d_grids(save_dir, it, static=np.asarray(st["static"]),
+                       dynamic=np.asarray(st["dynamic"]),
+                       videos=np.asarray(videos),
+                       mean=meta.mean, std=meta.std)
 
     tracker = EvalTracker(cfg, data, logger, save_dir, save)
     timer = StepTimer()

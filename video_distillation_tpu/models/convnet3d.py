@@ -58,10 +58,13 @@ class ConvNet3D(nn.Module):
                 # ~3x faster backward on TPU at C_in=3 (see layers.py);
                 # with maxpooling + no norm the spatial (2,2) pool is
                 # additionally folded into the conv (space-to-depth) —
-                # the layer then emits bias->pool->relu-ready output
+                # the layer then emits bias->pool->relu-ready output.
+                # pool-before-act only commutes for monotone activations,
+                # so swish (non-monotonic) must take the unfused path
                 fuse = (FUSE_FIRST_STAGE
                         and self.net_pooling == "maxpooling"
                         and self.net_norm == "none"
+                        and self.net_act in ("relu", "leakyrelu", "sigmoid")
                         and x.shape[2] % 4 == 0 and x.shape[3] % 4 == 0)
                 x = TemporalIm2ColConv(features=feats, fuse_pool=fuse)(x)
                 if fuse:

@@ -41,10 +41,16 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
     Call before any other jax API. Arguments default to the standard env
     vars (``JAX_COORDINATOR_ADDRESS``/``COORDINATOR_ADDRESS``,
-    ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``) and to TPU-pod automatic
-    detection when none are set. Returns True iff a multi-process runtime
-    was initialised (single-host runs are a silent no-op so every driver
-    can call this unconditionally).
+    ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``). When none are set but the
+    environment carries TPU-pod markers (``TPU_WORKER_HOSTNAMES`` /
+    ``MEGASCALE_COORDINATOR_ADDRESS`` / a Cloud-TPU metadata hostname list),
+    ``jax.distributed.initialize()`` is called with no arguments so JAX's
+    own cluster auto-detection runs — otherwise every pod process would
+    silently run single-process, each believing it is the coordinator, and
+    checkpoint writers would race on the same path. Returns True iff a
+    multi-process runtime was initialised (single-host runs without pod
+    markers are a silent no-op so every driver can call this
+    unconditionally).
     """
     global _DISTRIBUTED
     import os
@@ -58,10 +64,23 @@ def init_distributed(coordinator_address: Optional[str] = None,
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
-        # no explicit cluster config: on TPU pods jax.distributed can
-        # auto-detect, but under a single chip / CPU test mesh this is a
-        # no-op single-process run
-        return False
+        # TPU_WORKER_HOSTNAMES is set even on single-host TPUs (e.g.
+        # 'localhost' under the axon tunnel) — it only marks a pod when it
+        # lists >1 worker
+        hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        pod_markers = [k for k in ("MEGASCALE_COORDINATOR_ADDRESS",
+                                   "TPU_PROCESS_ADDRESSES")
+                       if os.environ.get(k)]
+        if "," in hostnames:
+            pod_markers.append("TPU_WORKER_HOSTNAMES")
+        if not pod_markers:
+            # single chip / CPU test mesh: no-op single-process run
+            return False
+        # multi-host pod without explicit cluster config: let JAX's
+        # cluster auto-detection resolve coordinator/process ids
+        jax.distributed.initialize()
+        _DISTRIBUTED = True
+        return True
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
