@@ -19,7 +19,11 @@ import glob
 import gzip
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
 
 
 def run_steps(steps: int, logdir: str, syn_steps: int = 10):
@@ -88,30 +92,34 @@ def parse_trace(logdir: str, steps: int, top: int = 40):
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
     events = trace["traceEvents"]
-    # identify the device pid: process with the most complete-events
-    # carrying XLA op names (host pids carry python/runtime frames)
-    pid_names = {}
+    # identify the device pid + the leaf "XLA Ops" thread (other threads
+    # carry nested module/step spans that would double-count)
+    pid_names, tid_names = {}, {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
-    per_pid = collections.Counter(
-        e["pid"] for e in events if e.get("ph") == "X")
-    print("pids:", {p: (pid_names.get(p, "?"), c)
-                    for p, c in per_pid.most_common(6)})
+        elif e.get("name") == "thread_name":
+            tid_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     dev_pids = [p for p, name in pid_names.items()
                 if "TPU" in name or "/device" in name.lower()]
-    if not dev_pids:
-        dev_pids = [per_pid.most_common(1)[0][0]]
+    op_tids = {k for k, name in tid_names.items()
+               if k[0] in dev_pids and "XLA Ops" in name}
+    if not op_tids:  # fall back: all device threads
+        op_tids = {k for k in tid_names if k[0] in dev_pids}
+    print("device pids:", {p: pid_names[p] for p in dev_pids},
+          "op threads:", sorted(tid_names[k] for k in op_tids))
     agg = collections.Counter()
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e["pid"] not in dev_pids:
+        if e.get("ph") != "X" or (e["pid"], e.get("tid")) not in op_tids:
             continue
         name = e.get("name", "?")
         dur = e.get("dur", 0) / 1e6  # us -> s
         agg[name] += dur
         total += dur
-    print(f"\ndevice total {total:.3f}s over {steps} steps "
+    print(f"\ndevice op total {total:.3f}s over {steps} steps "
           f"({total / steps * 1e3:.1f} ms/step)\n")
     print(f"{'ms/step':>9}  {'%':>5}  op")
     for name, dur in agg.most_common(top):
