@@ -79,6 +79,14 @@ def test_center_crop_and_resize_shapes():
     assert rc.shape == (B, 8, 8, 3)
 
 
+def test_corner_crop_equals_slice():
+    x = _img()
+    out = am.crop(3, 2, 8, 8)(KEY, x)  # x0=3, y0=2, w=8, h=8
+    assert out.shape == (B, 8, 8, 3)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(x[:, 2:10, 3:11]), atol=1e-5)
+
+
 def test_random_sized_crop_preserves_range():
     x = _img()
     out = am.random_sized_crop(H, H, zoom_range=(0.8, 1.25))(KEY, x)

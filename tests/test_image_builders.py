@@ -63,6 +63,31 @@ def test_tiny_imagenet_builder(tmp_path):
         assert data.train.clips[i, 0, 0, 0] == 20 * c + 3
 
 
+def test_imagenet_loader(tmp_path):
+    """Full-ImageNet loader over a fabricated imagenet_64x64 tree
+    (utils.py:105-131): sorted-wnid labels, resize path, npz caching."""
+    from video_distillation_tpu.data.image_datasets import load_imagenet
+
+    root = str(tmp_path)
+    wnids = [f"n{i:08d}" for i in range(3)]
+    for split, n in (("train", 2), ("val", 1)):
+        for ci, wnid in enumerate(wnids):
+            # one class at 64^2 (passthrough), others at 96^2 (resize)
+            _write_jpegs(osp.join(root, "imagenet_64x64", split, wnid), n,
+                         64 if ci == 0 else 96, 30 * ci + 7)
+    data = load_imagenet(root, workers=1)
+    assert data.train.clips.shape == (6, 64, 64, 3)
+    assert data.test.frames.shape == (3, 64, 64, 3)
+    assert data.meta.num_classes == 1000
+    for i in range(6):
+        c = int(data.train.labels[i])
+        assert data.train.clips[i, 32, 32, 0] == 30 * c + 7
+    # second call hits the npz cache
+    again = load_imagenet(root, workers=1)
+    np.testing.assert_array_equal(again.train.clips, data.train.clips)
+    assert os.path.exists(osp.join(root, "ImageNet_images.npz"))
+
+
 def test_preprocessed_shard_roundtrip_with_zca(tmp_path):
     from video_distillation_tpu.ops.zca import apply_zca, fit_zca
 

@@ -133,6 +133,35 @@ def test_hallucinator_shapes():
     assert video.shape == (4, 8, 16, 16, 3)
 
 
+def _naive_hallucinate(kernel, bias, static, dynamic, mode):
+    """Reference semantics: broadcast + concat/add + Conv3d k=3 pad=1
+    (utils.py:1178-1197)."""
+    b, f = dynamic.shape[:2]
+    static_b = jnp.broadcast_to(static[:, None], (b, f) + static.shape[1:])
+    x = (jnp.concatenate([static_b, dynamic], axis=-1)
+         if mode == "concat" else static_b + dynamic)
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1, 1), padding=((1, 1),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return y + bias
+
+
+@pytest.mark.parametrize("mode", ["concat", "add"])
+def test_hallucinator_split_matches_naive_conv3d(mode):
+    key = jax.random.PRNGKey(3)
+    hal = Hallucinator(mode=mode)
+    static = jax.random.normal(jax.random.fold_in(key, 1), (2, 16, 16, 3))
+    dynamic = jax.random.normal(jax.random.fold_in(key, 2),
+                                (2, 8, 16, 16, 1))
+    params = hal.init(key, static, dynamic)["params"]
+    out = hal.apply({"params": params}, static, dynamic)
+    ref = _naive_hallucinate(np.asarray(params["kernel"]),
+                             np.asarray(params["bias"]), static, dynamic,
+                             mode)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_eval_pool_modes():
     assert get_eval_pool("S", "ConvNet3D") == ["ConvNet3D"]
     assert get_eval_pool("S", "ConvNetBN") == ["ConvNet"]
@@ -161,13 +190,16 @@ def test_temporal_conv_sum_path_matches_conv3d():
     assert float(jnp.max(jnp.abs(y - ref))) < 1e-5
 
 
-def test_fused_first_stage_matches_unfused():
+@pytest.mark.parametrize("s2d_mode", ["s2d2", "s2d4"])
+def test_fused_first_stage_matches_unfused(s2d_mode, monkeypatch):
     """fuse_pool (space-to-depth conv + phase max) == conv -> relu ->
-    (2,2) spatial max-pool, values and gradients."""
+    (2,2) spatial max-pool, values and gradients, in both s2d packings."""
     import jax.numpy as jnp
+    from video_distillation_tpu.models import layers
     from video_distillation_tpu.models.layers import (TemporalIm2ColConv,
                                                       max_pool)
 
+    monkeypatch.setattr(layers, "S2D_POOL_MODE", s2d_mode)
     B, F, H, W, O = 2, 8, 64, 64, 16
     x = jax.random.normal(jax.random.PRNGKey(0), (B, F, H, W, 3))
     mod_f = TemporalIm2ColConv(features=O, fuse_pool=True)
@@ -186,6 +218,25 @@ def test_fused_first_stage_matches_unfused():
         b = gf["params"][kname]
         assert float(jnp.linalg.norm(a - b) /
                      (jnp.linalg.norm(a) + 1e-30)) < 1e-5
+
+
+def test_convnet3d_packed_input_matches_raw():
+    """ConvNet3D(packed_input=True) over s2d2_pack'ed batches must equal
+    the raw-input model with the SAME params (the MTT unroll stages
+    batches pre-packed; expert trajectories come from raw training)."""
+    from video_distillation_tpu.models.layers import s2d2_pack
+
+    model = ConvNet3D(num_classes=5, frames=8, im_size=(64, 64))
+    assert ConvNet3D.supports_packed_input(im_size=(64, 64))
+    packed = model.clone(packed_input=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 64, 64, 3))
+    k = jax.random.PRNGKey(1)
+    params = model.init({"params": k, "dropout": k}, x,
+                        train=False)["params"]
+    ref = model.apply({"params": params}, x, train=False)
+    out = packed.apply({"params": params}, s2d2_pack(x), train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_max_pool_pairmax_matches_reduce_window():

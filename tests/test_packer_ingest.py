@@ -61,6 +61,29 @@ def test_read_and_pack_ucf_layout(tmp_path):
     assert clips.shape == (2, 8, 32, 32, 3)
 
 
+def test_pooled_packing_matches_serial(tmp_path):
+    """The multiprocessing pool must not change packed bytes or RNG
+    consumption (starts are drawn in the parent)."""
+    root = _make_ucf_tree(str(tmp_path), n_videos=6, n_frames=20)
+    videos, labels, _ = read_ucf_csv(root, "test_splits.csv", "train")
+    meta = DatasetMeta(name="packtest_pool", channel=3, im_size=(32, 32),
+                       num_classes=2, mean=(0.485, 0.456, 0.406),
+                       std=(0.229, 0.224, 0.225), frames=8)
+    register_meta(meta)
+    serial = pack_train_clips(videos, labels, meta,
+                              np.random.default_rng(7), naming="ucf",
+                              workers=1)
+    pooled = pack_train_clips(videos, labels, meta,
+                              np.random.default_rng(7), naming="ucf",
+                              workers=4)
+    np.testing.assert_array_equal(serial.clips, pooled.clips)
+
+    tser = pack_test_frames(videos, labels, meta, naming="ucf", workers=1)
+    tpool = pack_test_frames(videos, labels, meta, naming="ucf", workers=4)
+    np.testing.assert_array_equal(tser.frames, tpool.frames)
+    np.testing.assert_array_equal(tser.offsets, tpool.offsets)
+
+
 def test_evenly_spaced():
     assert evenly_spaced(10, 5) == [0, 2, 4, 6, 8]
     assert evenly_spaced(3, 5) == [0, 1, 2, 2, 2]

@@ -111,6 +111,76 @@ def _load_jpeg_dir_split(split_dir: str, wnids, im_size) -> Tuple[
     return x, np.asarray(labels, np.int32)
 
 
+def _decode_one(job):
+    """(path, label, im_size) -> (uint8 HWC image, label); module-level so
+    multiprocessing.Pool can pickle it."""
+    from PIL import Image
+
+    path, label, im_size = job
+    img = Image.open(path).convert("RGB")
+    if img.size != (im_size[1], im_size[0]):
+        # reference resize+center-crop (utils.py:121-124): shorter side
+        # to im_size then crop the center
+        w, h = img.size
+        scale = max(im_size[1] / w, im_size[0] / h)
+        img = img.resize((max(1, round(w * scale)),
+                          max(1, round(h * scale))), Image.BILINEAR)
+        w, h = img.size
+        x0 = (w - im_size[1]) // 2
+        y0 = (h - im_size[0]) // 2
+        img = img.crop((x0, y0, x0 + im_size[1], y0 + im_size[0]))
+    return np.asarray(img, np.uint8), label
+
+
+def load_imagenet(data_path: str, workers: int = 16) -> VideoData:
+    """Full-ImageNet loader (``/root/reference/utils.py:105-131``): prefer
+    an already-resized ``imagenet_64x64`` directory next to ``data_path``,
+    else resize+center-crop from the raw ``imagenet`` tree. Expects the
+    standard extracted layout ``<root>/{train,val}/<wnid>/*.JPEG`` (the
+    torch loader reads the same tree via ``datasets.ImageNet``). Decoding
+    1.28M JPEGs is pooled across ``workers`` processes."""
+    from multiprocessing import Pool
+
+    meta = get_meta("ImageNet")
+    h, w = meta.im_size
+    resized = os.path.join(data_path, f"imagenet_{h}x{w}")
+    root = resized if os.path.isdir(resized) else os.path.join(
+        data_path, "imagenet")
+    cache = os.path.join(data_path, "ImageNet_images.npz")
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            return from_arrays("ImageNet", z["xtr"], z["ytr"], z["xte"],
+                               z["yte"])
+
+    wnids = sorted(d for d in os.listdir(os.path.join(root, "train"))
+                   if os.path.isdir(os.path.join(root, "train", d)))
+    wnid_to_idx = {wd: i for i, wd in enumerate(wnids)}
+    splits = {}
+    for split in ("train", "val"):
+        jobs = []
+        for wnid in wnids:
+            d = os.path.join(root, split, wnid)
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
+                if f.lower().endswith((".jpeg", ".jpg", ".png")):
+                    jobs.append((os.path.join(d, f), wnid_to_idx[wnid],
+                                 meta.im_size))
+        if workers > 1 and len(jobs) > 64:
+            with Pool(workers) as pool:
+                decoded = pool.map(_decode_one, jobs, chunksize=256)
+        else:
+            decoded = [_decode_one(j) for j in jobs]
+        xs = (np.stack([d[0] for d in decoded]) if decoded
+              else np.empty((0, h, w, 3), np.uint8))
+        ys = np.asarray([d[1] for d in decoded], np.int32)
+        splits[split] = (xs, ys)
+    np.savez_compressed(cache, xtr=splits["train"][0],
+                        ytr=splits["train"][1], xte=splits["val"][0],
+                        yte=splits["val"][1])
+    return from_arrays("ImageNet", *splits["train"], *splits["val"])
+
+
 def load_imagenette(root: str, name: str = "imagenette") -> VideoData:
     """Imagenette/Imagewoof builder over the extracted fast.ai archive
     layout (<root>/{train,val}/<wnid>/*.JPEG) — the TPU-native equivalent

@@ -96,6 +96,10 @@ _REGISTRY = {
     "CIFAR100": DatasetMeta("CIFAR100", 3, (32, 32), 100,
                             (0.5071, 0.4866, 0.4409),
                             (0.2673, 0.2564, 0.2762)),
+    # full ImageNet at 64^2 with the standard ImageNet stats
+    # (utils.py:105-131)
+    "ImageNet": DatasetMeta("ImageNet", 3, (64, 64), 1000,
+                            IMAGENET_MEAN, IMAGENET_STD),
     # FRePo image sets (FRePo/lib/dataset/dataloader.py:14-26 stats;
     # imagenette/imagewoof at 128^2, tiny-imagenet at 64^2)
     "imagenette": DatasetMeta("imagenette", 3, (128, 128), 10,

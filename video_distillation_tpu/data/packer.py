@@ -160,42 +160,73 @@ def _frame_path(video_dir: str, i0: int, naming: str) -> str:
     raise ValueError(naming)
 
 
+def _pack_one_clip(job):
+    """(video_dir, F, naming, im_size) -> (F, H, W, 3) uint8 with the
+    temporal start pre-drawn in the parent (RNG stays deterministic and
+    independent of worker count); module-level for Pool picklability."""
+    d, idx, naming, im_size = job
+    files = None if naming == "ucf" else sorted(os.listdir(d))
+    out = np.empty((len(idx),) + tuple(im_size) + (3,), np.uint8)
+    for fi, i0 in enumerate(idx):
+        if naming == "ucf":
+            p = _frame_path(d, int(i0), naming)
+        else:
+            p = osp.join(d, files[int(i0)])
+        out[fi] = _load_frame(p, im_size)
+    return out
+
+
+def _pack_one_video_frames(job):
+    """(video_dir, naming, max_frames, im_size) -> (n, H, W, 3) uint8."""
+    d, naming, max_frames, im_size = job
+    files = sorted(os.listdir(d))[:max_frames]
+    out = np.empty((len(files),) + tuple(im_size) + (3,), np.uint8)
+    for fi, f in enumerate(files):
+        if naming == "ucf":
+            p = _frame_path(d, fi, naming)
+        else:
+            p = osp.join(d, f)
+        out[fi] = _load_frame(p, im_size)
+    return out
+
+
+def _pool_map(fn, jobs, workers: int):
+    """Pooled map matching the reference extractors' multiprocessing.Pool
+    (extract_k400.py:82-87); serial for small job lists / workers<=1."""
+    if workers > 1 and len(jobs) > 8:
+        from multiprocessing import Pool
+
+        with Pool(workers) as pool:
+            return pool.map(fn, jobs, chunksize=8)
+    return [fn(j) for j in jobs]
+
+
 def pack_train_clips(videos: Sequence[str], labels: Sequence[int],
                      meta: DatasetMeta, rng: np.random.Generator,
-                     naming: str = "ucf") -> ClipStore:
+                     naming: str = "ucf", workers: int = 8) -> ClipStore:
     F = meta.frames
-    clips = np.empty((len(videos), F) + meta.im_size + (3,), np.uint8)
-    for vi, d in enumerate(videos):
-        files = sorted(os.listdir(d))
-        length = len(files)
+    jobs = []
+    for d in videos:
+        length = len(os.listdir(d))
         start, skip = sample_start(rng, length, F)
         idx = np.clip(clip_indices(start, skip, F), 0, length - 1)
-        for fi, i0 in enumerate(idx):
-            if naming == "ucf":
-                p = _frame_path(d, int(i0), naming)
-            else:
-                p = osp.join(d, files[int(i0)])
-            clips[vi, fi] = _load_frame(p, meta.im_size)
+        jobs.append((d, idx, naming, meta.im_size))
+    loaded = _pool_map(_pack_one_clip, jobs, workers)
+    clips = (np.stack(loaded) if loaded else
+             np.empty((0, F) + meta.im_size + (3,), np.uint8))
     return ClipStore(clips, np.asarray(labels, np.int32), meta)
 
 
 def pack_test_frames(videos: Sequence[str], labels: Sequence[int],
                      meta: DatasetMeta, max_frames: int = 300,
-                     naming: str = "ucf") -> RaggedFrameStore:
-    lengths = []
-    all_frames = []
-    for d in videos:
-        files = sorted(os.listdir(d))[:max_frames]
-        lengths.append(len(files))
-        for fi, f in enumerate(files):
-            if naming == "ucf":
-                p = _frame_path(d, fi, naming)
-            else:
-                p = osp.join(d, f)
-            all_frames.append(_load_frame(p, meta.im_size))
+                     naming: str = "ucf", workers: int = 8
+                     ) -> RaggedFrameStore:
+    jobs = [(d, naming, max_frames, meta.im_size) for d in videos]
+    loaded = _pool_map(_pack_one_video_frames, jobs, workers)
+    lengths = [x.shape[0] for x in loaded]
     offsets = np.zeros(len(videos) + 1, np.int64)
     offsets[1:] = np.cumsum(lengths)
-    frames = (np.stack(all_frames) if all_frames else
+    frames = (np.concatenate(loaded) if loaded else
               np.empty((0,) + meta.im_size + (3,), np.uint8))
     return RaggedFrameStore(frames, offsets, np.asarray(labels, np.int32),
                             meta)
@@ -270,6 +301,21 @@ def pack_dataset(dataset: str, data_path: str, out_root: str,
         naming = "listing"
         tr = read_ssv2_json(root, "train")
         te = read_ssv2_json(root, "val")
+    elif dataset == "ImageNet":
+        from .image_datasets import load_imagenet
+
+        data = load_imagenet(data_path)
+        out = osp.join(out_root, f"{dataset}_packed")
+        save_packed(out, data)
+        return out
+    elif dataset in ("MNIST", "FashionMNIST", "SVHN", "CIFAR10",
+                     "CIFAR100"):
+        from .image_datasets import load_image_dataset
+
+        data = load_image_dataset(dataset, data_path)
+        out = osp.join(out_root, f"{dataset}_packed")
+        save_packed(out, data)
+        return out
     else:
         raise ValueError(f"pack_dataset: unsupported dataset {dataset}")
 

@@ -33,8 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.flatten_util import ravel_pytree
 
+from ..models.convnet3d import ConvNet3D
+from ..models.layers import s2d2_pack
 from ..models.registry import create_model
 from .s2d import S2DConfig, hallucinate
+
+PACK_AT_STAGING = False  # measured net-loss on v5e; see layers.s2d2_pack
 
 
 def make_batch_plan(rng: np.random.Generator, n: int, batch_syn: int,
@@ -115,6 +119,16 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
     """
     model_def, _, _, unravel = flat_param_template(
         model_name, channel, num_classes, im_size, frames)
+    # Staging the unroll batches PRE-packed (s2d2_pack + packed_input
+    # model) was measured a NET LOSS on the v5e — see the note on
+    # layers.s2d2_pack — so it is off by default; the capability stays
+    # (tested) for shapes where the trade flips.
+    packed = (PACK_AT_STAGING and isinstance(model_def, ConvNet3D)
+              and ConvNet3D.supports_packed_input(
+                  model_def.net_pooling, model_def.net_norm,
+                  model_def.net_act, model_def.im_size))
+    if packed:
+        model_def = model_def.clone(packed_input=True)
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
     def ce(th, x, y, w, step_i, drop_key):
@@ -158,8 +172,13 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
 
     def unroll(theta_start, theta_target, syn_lr, batches_x, batches_y,
                batches_w, drop_key):
-        """batches_x: (S, B, F, H, W, C) float32 (already in normalised
-        space); returns grand_loss, plus (param_loss, param_dist)."""
+        """batches_x: (S, B, F, H, W, C) (already in normalised space);
+        returns grand_loss, plus (param_loss, param_dist)."""
+        if packed:
+            S, B = batches_x.shape[:2]
+            xp = s2d2_pack(batches_x.reshape((S * B,) +
+                                             batches_x.shape[2:]))
+            batches_x = xp.reshape((S, B) + xp.shape[1:])
 
         if second_order == "rof":
 
@@ -272,6 +291,11 @@ def _build_s2d_mtt_step(model_name: str, channel: int, num_classes: int,
 
         def loss_fn(state, lr_scalar):
             st = state["static"]
+            if not train_static:
+                # frozen static (the sh/ ipc=1 presets): cut the whole
+                # static backward chain (hal dgrad_s + one-hot gather
+                # transpose) instead of computing-and-discarding it
+                st = jax.lax.stop_gradient(st)
             static = take_rows(
                 st.reshape(st.shape[0], -1),
                 s_idxs.reshape(-1)).reshape((-1,) + st.shape[1:])

@@ -63,13 +63,19 @@ def hallucinate(hal_params, static, dynamic, mode: str = "concat",
     (B,F,H,W,3).
 
     ``dtype`` (e.g. bfloat16) casts inputs and kernel for the compose:
-    the 4->3-channel stencil conv is bandwidth-bound and XLA runs it 2x
-    faster in bf16; grads flow back through the casts into the fp32
-    master state."""
+    the 4->3-channel stencil conv is bandwidth-bound and runs ~2x faster
+    in bf16; grads flow back through the casts into the fp32 master
+    state. On TPU the 'concat' composition routes to the differentiable
+    Pallas primitive (ops/pallas/hal_vjp.py) — XLA's 4->3-channel conv
+    emitters run at 1.7-7 TF/s with heavy layout copies."""
     if dtype is not None:
         hal_params = jax.tree.map(lambda a: a.astype(dtype), hal_params)
         static = static.astype(dtype)
         dynamic = dynamic.astype(dtype)
+    if mode == "concat" and jax.default_backend() == "tpu":
+        from ..ops.pallas.hal_vjp import hal_conv_from_params
+
+        return hal_conv_from_params(hal_params, static, dynamic)
     return Hallucinator(mode=mode).apply({"params": hal_params}, static,
                                          dynamic)
 

@@ -31,8 +31,11 @@ from .layers import (TemporalIm2ColConv, TorchConv, activation, avg_pool,
 
 # perf escape hatch: the space-to-depth fused first stage trades 2.9x
 # conv1 FLOPs for layout sanity — a clear win for the bf16 second-order
-# MTT unroll, roughly neutral for fp32 eval. Flip for A/B measurements.
-FUSE_FIRST_STAGE = True
+# MTT unroll, roughly neutral for fp32 eval. Flip for A/B measurements
+# (env override VD_FUSE_FIRST_STAGE=0/1 for profiling runs).
+import os as _os
+
+FUSE_FIRST_STAGE = _os.environ.get("VD_FUSE_FIRST_STAGE", "1") != "0"
 
 
 class ConvNet3D(nn.Module):
@@ -46,13 +49,37 @@ class ConvNet3D(nn.Module):
     frames: int = 16
     im_size: Tuple[int, int] = (112, 112)
     dropout_rate: float = 0.5
+    # accept layers.s2d2_pack'ed input (B, F, Hc, Wc, 12C): MTT unrolls
+    # stage batches pre-packed so the im2col/space-to-depth formatting
+    # runs once per outer step instead of in every autodiff pass
+    packed_input: bool = False
+
+    @classmethod
+    def supports_packed_input(cls, net_pooling="maxpooling",
+                              net_norm="none", net_act="relu",
+                              im_size=(112, 112)):
+        from . import convnet3d as _self_mod
+        from .layers import S2D_POOL_MODE
+
+        return (_self_mod.FUSE_FIRST_STAGE and S2D_POOL_MODE == "s2d2"
+                and net_pooling == "maxpooling" and net_norm == "none"
+                and net_act in ("relu", "leakyrelu", "sigmoid")
+                and im_size[0] % 4 == 0 and im_size[1] % 4 == 0)
 
     @nn.compact
     def __call__(self, x, train: bool = True, output: str = "logits"):
-        # x: (B, F, H, W, C)
+        # x: (B, F, H, W, C) — or s2d2-packed when packed_input is set
         act = activation(self.net_act)
         for d in range(self.net_depth):
             feats = 64 if d == 0 else self.net_width
+            if d == 0 and self.packed_input:
+                assert self.supports_packed_input(
+                    self.net_pooling, self.net_norm, self.net_act,
+                    self.im_size)
+                x = TemporalIm2ColConv(features=feats, fuse_pool=True,
+                                       pre_packed=True)(x)
+                x = act(x)
+                continue
             if d == 0:
                 # first layer as temporal-im2col conv2d: identical math,
                 # ~3x faster backward on TPU at C_in=3 (see layers.py);

@@ -7,16 +7,38 @@ broadcast across frames and the dynamic channel is appended as a 4th input
 channel; 'add' mode adds the dynamic volume to the (3-channel) static
 broadcast instead.
 
+The compute is restructured around the broadcast: the static channels are
+constant along time, so their temporal taps collapse —
+``y[t] = conv2d(s, sum_dt Ks[dt])`` for interior frames (boundary frames
+drop one tap) plus a temporal-im2col 2-D conv of the dynamic channel.
+Identical math to the naive broadcast+concat+Conv3d (a reassociation of
+the same tap sums), but ~3x fewer FLOPs and no materialised
+``(B, F, H, W, 4)`` concat tensor: the naive form ran at 2-7 TF/s on a
+v5e (tiny 4->3 channels starve both MXU and VPU) and cost ~45 ms per
+S2D-MTT outer step at the miniUCF101 shapes.
+
 Layout here: static ``(B, H, W, 3)``, dynamic ``(B, F, H, W, 1)``,
-output video ``(B, F, H, W, 3)`` (NDHWC).
+output video ``(B, F, H, W, 3)`` (NDHWC). Params are ``kernel``
+(kt, kh, kw, cin, 3) in the same DHWIO layout flax's Conv3d would use
+(torch ports transpose identically) and ``bias`` (3,).
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from .layers import TorchConv
+from .layers import torch_bias_uniform, torch_kaiming_uniform
+
+
+def _conv2d(x, w):
+    """NHWC stride-1 SAME conv helper (w: (kh, kw, ci, co))."""
+    kh, kw = w.shape[0], w.shape[1]
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1),
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class Hallucinator(nn.Module):
@@ -27,20 +49,63 @@ class Hallucinator(nn.Module):
     @nn.compact
     def __call__(self, static, dynamic):
         # static: (B, H, W, 3); dynamic: (B, F, H, W, 1)
-        frames = dynamic.shape[1]
-        static_b = jnp.broadcast_to(
-            static[:, None], (static.shape[0], frames) + static.shape[1:]
-        )
+        B, F, H, W, _ = dynamic.shape
+        k = self.kernel_size
         if self.mode == "concat":
-            x = jnp.concatenate([static_b, dynamic], axis=-1)  # (B,F,H,W,4)
+            cin = 4
         elif self.mode == "add":
-            x = static_b + dynamic
+            cin = 3
         else:
             raise NotImplementedError(self.mode)
-        k = self.kernel_size
-        pad = k // 2
-        return TorchConv(
-            features=self.mid_channel,
-            kernel_size=(k, k, k),
-            padding=((pad, pad),) * 3,
-        )(x)
+        fan_in = cin * k * k * k
+        kernel = self.param("kernel", torch_kaiming_uniform(),
+                            (k, k, k, cin, self.mid_channel))
+        bias = self.param("bias", torch_bias_uniform(fan_in),
+                          (self.mid_channel,))
+
+        if k != 3 or F < 2:
+            # fallback: naive broadcast + Conv3d (only k=3 is ever used)
+            static_b = jnp.broadcast_to(
+                static[:, None], (B, F) + static.shape[1:])
+            if self.mode == "concat":
+                x = jnp.concatenate([static_b, dynamic], axis=-1)
+            else:
+                x = static_b + dynamic
+            pad = k // 2
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), window_strides=(1, 1, 1),
+                padding=((pad, pad),) * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            return y + bias.astype(y.dtype)
+
+        if self.mode == "concat":
+            ks = kernel[:, :, :, :3]   # (3,kh,kw,3,O) static taps
+            kd = kernel[:, :, :, 3:]   # (3,kh,kw,1,O) dynamic taps
+        else:
+            ks = kernel
+            kd = kernel.sum(axis=3, keepdims=True)
+
+        O = self.mid_channel
+        # static part: temporal taps collapse over the broadcast. One 2-D
+        # conv computes [full-sum | first-tap | last-tap] outputs at once;
+        # frame 0 lacks the t-1 tap (ks[0]), frame F-1 lacks t+1 (ks[2]).
+        w_s = jnp.concatenate(
+            [ks[0] + ks[1] + ks[2], ks[0], ks[2]], axis=-1)  # (kh,kw,3,3O)
+        u = _conv2d(static, w_s)
+        u_full, u_first, u_last = (u[..., :O], u[..., O:2 * O],
+                                   u[..., 2 * O:])
+        u_mid = jnp.broadcast_to(u_full[:, None], (B, F - 2, H, W, O))
+        u_b = jnp.concatenate(
+            [(u_full - u_first)[:, None], u_mid,
+             (u_full - u_last)[:, None]], axis=1)  # (B,F,H,W,O)
+
+        # dynamic part: temporal im2col (stack t-1/t/t+1 as channels) +
+        # one 2-D conv — the same formulation layers.TemporalIm2ColConv
+        # uses for ConvNet3D; 3-D convs with 1 input channel tile badly.
+        dp = jnp.pad(dynamic, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        dstack = jnp.concatenate(
+            [dp[:, 0:F], dp[:, 1:F + 1], dp[:, 2:F + 2]], axis=-1)
+        w_d = kd.transpose(1, 2, 0, 3, 4).reshape(k, k, 3, O)
+        v = _conv2d(dstack.reshape(B * F, H, W, 3), w_d)
+        y = u_b + v.reshape(B, F, H, W, O)
+        return y + bias.astype(y.dtype)

@@ -51,6 +51,14 @@ def torch_bias_uniform(fan_in: int, dtype=jnp.float32):
 # path instead for measurements.
 TEMPORAL_SUM_PATH = True
 
+# Space-to-depth factor for the fused conv1+pool first stage: "s2d2"
+# (2x2 cells, (5,5,36,4O) packed kernel, 2.05x tap inflation) or "s2d4"
+# (4x4 cells, (3,3,16*3C,4O), 2.9x inflation). Both produce identical
+# phase outputs; s2d2 does ~30% fewer MXU FLOPs on the v5e.
+import os as _os
+
+S2D_POOL_MODE = _os.environ.get("VD_S2D_POOL_MODE", "s2d2")
+
 
 class TorchConv(nn.Module):
     """nn.Conv with torch-default init (weight AND bias from fan_in bound)."""
@@ -108,9 +116,30 @@ class TemporalIm2ColConv(nn.Module):
     features: int
     use_bias: bool = True
     fuse_pool: bool = False
+    pre_packed: bool = False  # x arrives s2d2_pack'ed (requires fuse_pool)
 
     @nn.compact
     def __call__(self, x):
+        if self.pre_packed:
+            # x: (B, F, Hc, Wc, 12C) from s2d2_pack
+            assert self.fuse_pool and S2D_POOL_MODE == "s2d2"
+            B, F, Hc, Wc, Ck4 = x.shape
+            C = Ck4 // 12
+            H, W = (Hc - 4) * 2, (Wc - 4) * 2
+            fan_in = C * 3 * 7 * 7
+            kernel = self.param("kernel", torch_kaiming_uniform(),
+                                (3, 7, 7, C, self.features))
+            w2 = kernel.transpose(1, 2, 0, 3, 4).reshape(
+                7, 7, 3 * C, self.features)
+            bias = self.param("bias", torch_bias_uniform(fan_in),
+                              (self.features,)) if self.use_bias else None
+            y = _s2d2_gemm(x.reshape(B * F, Hc, Wc, Ck4), w2,
+                           self.features)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            y = _phase_max(y)
+            return y.reshape(B, F, H // 4, W // 4, self.features)
+
         # x: (B, F, H, W, C)
         B, F, H, W, C = x.shape
         fan_in = C * 3 * 7 * 7
@@ -125,7 +154,9 @@ class TemporalIm2ColConv(nn.Module):
         if self.fuse_pool:
             assert H % 4 == 0 and W % 4 == 0, (
                 "fuse_pool requires H, W divisible by 4")
-            y = _s2d4_conv_pool(x, w2, self.features)
+            fused = (_s2d2_conv_pool if S2D_POOL_MODE == "s2d2"
+                     else _s2d4_conv_pool)
+            y = fused(x, w2, self.features)
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             y = _phase_max(y)  # phase max == the (2,2) spatial pool
@@ -213,6 +244,74 @@ def _s2d4_conv_pool(x, w2, features: int):
     return y.reshape(B * F, H // 4, W // 4, 4, O)
 
 
+# 2x2-cell variant of the same fused geometry: output (i, j) at pool
+# phase a taps original rows 4i + 2a - 3 + u (u in [0,7)); with +4
+# padding, cell c covers rows 2c-4/2c-3, so the tap lands in relative
+# cell d = (2a+1+u)//2 (window 5, stride 2), sub-row p = (2a+1+u) % 2.
+# _U2[d, p, a] inverts: u = 2d + p - 2a - 1, or 7 (zero slot) when out
+# of range. 7 valid slots of 10 per axis -> 2.05x tap inflation vs the
+# 4x4 packing's 2.9x, with the same (BF, H/4, W/4, 4, O) phase output.
+_U2 = np.full((5, 2, 2), 7, np.int32)
+for _d in range(5):
+    for _p in range(2):
+        for _a in range(2):
+            _u = 2 * _d + _p - 2 * _a - 1
+            if 0 <= _u <= 6:
+                _U2[_d, _p, _a] = _u
+
+
+def s2d2_pack(x):
+    """(B, F, H, W, C) -> (B, F, Hc, Wc, 12C) with Hc = H//2 + 4: the
+    temporal-im2col (t-1/t/t+1 channel stack) + 2x2 space-to-depth view
+    the fused first stage consumes. Slot order: (py, px, dt, c).
+
+    NOTE (measured on the v5e): staging MTT batches pre-packed is a NET
+    LOSS and is disabled (mtt.py PACK_AT_STAGING=False). The in-scan
+    packing costs ~40 ms/outer across all autodiff passes, while staged
+    packing cost ~90 ms/outer (the pad/concat/reshape/transpose chain
+    materialises ~5 intermediates) plus ~20 ms of extra scan-slice bytes
+    (packed batches are 1.7x larger). A strided-slice+concat variant was
+    also measured and is catastrophically WORSE (~530 ms/outer): XLA
+    runs stride-2 slices of bf16 at 17-39 GB/s — landmine."""
+    B, F, H, W, C = x.shape
+    Ck = 3 * C
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    xs = jnp.concatenate(
+        [xp[:, 0:F], xp[:, 1:F + 1], xp[:, 2:F + 2]], axis=-1)
+    xf = xs.reshape(B * F, H, W, Ck)
+    xpad = jnp.pad(xf, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    Hc, Wc = H // 2 + 4, W // 2 + 4
+    xv = xpad.reshape(B * F, Hc, 2, Wc, 2, Ck).transpose(
+        0, 1, 3, 2, 4, 5).reshape(B, F, Hc, Wc, 4 * Ck)
+    return xv
+
+
+def _s2d2_gemm(xv, w2, features: int):
+    """Packed view (B*F, Hc, Wc, 12C) x (7,7,3C,O) -> phase outputs
+    (B*F, H/4, W/4, 4, O)."""
+    BF, Hc, Wc, Ck4 = xv.shape
+    Ck = Ck4 // 4
+    O = features
+    w2p = jnp.pad(w2, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    Wg = w2p[_U2[:, :, :, None, None, None],
+             _U2[None, None, None, :, :, :]]
+    Ws = Wg.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(5, 5, 4 * Ck, 4 * O)
+    y = jax.lax.conv_general_dilated(
+        xv, Ws.astype(xv.dtype), window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # output spatial = ((Hc-5)//2+1, (Wc-5)//2+1) = (H//4, W//4)
+    return y.reshape(BF, y.shape[1], y.shape[2], 4, O)
+
+
+def _s2d2_conv_pool(x, w2, features: int):
+    """(B, F, H, W, C) x (7,7,3C,O) -> (B*F, H/4, W/4, 4, O): the four
+    (2,2)-pool-phase outputs of the stride-2 7x7 temporal-im2col conv,
+    as one stride-2 5x5 conv over a 2x2 space-to-depth view."""
+    B, F, H, W, C = x.shape
+    xv = s2d2_pack(x).reshape(B * F, H // 2 + 4, W // 2 + 4, 12 * C)
+    return _s2d2_gemm(xv, w2, features)
+
+
 @jax.custom_jvp
 def _phase_max(y):
     """Max over the pool-phase axis 3 of (B', Ho, Wo, 4, O).
@@ -233,10 +332,15 @@ def _phase_max_jvp(primals, tangents):
     # u8 index: the broadcast-compare against the phase iota is pure
     # bandwidth; at s32 XLA materialises a 4x larger intermediate
     idx = jnp.argmax(y, axis=3).astype(jnp.uint8)
-    oh = (idx[:, :, :, None, :] ==
-          jnp.arange(y.shape[3], dtype=jnp.uint8)[None, None, None, :, None]
-          ).astype(t.dtype)
-    tm = jnp.sum(t * oh, axis=3)
+    # explicit per-phase sum instead of sum(t * onehot): the onehot
+    # broadcast materialised a (B', Ho, Wo, P, O) intermediate (~400 MB
+    # at the miniUCF101 shapes); the unrolled form fuses each term into
+    # one strided read of t, and its transpose into P masked slice
+    # writes — no full-size intermediate either way
+    tm = None
+    for a in range(y.shape[3]):
+        term = t[:, :, :, a, :] * (idx == jnp.uint8(a)).astype(t.dtype)
+        tm = term if tm is None else tm + term
     return m, tm
 
 

@@ -182,6 +182,21 @@ def center_crop(height: int, width: int):
     return fn
 
 
+def crop(x0: float, y0: float, width: int, height: int):
+    """Corner crop at (x0, y0) with the given size (augmax Crop,
+    geometric.py:369-408): output->input translation by the offset of the
+    crop's center from the image center."""
+    def fn(key, x):
+        b, h, w, _ = x.shape
+        ty = jnp.full((b,), y0 + height / 2.0 - h / 2.0)
+        tx = jnp.full((b,), x0 + width / 2.0 - w / 2.0)
+        ones = jnp.ones(b)
+        zero = jnp.zeros(b)
+        return affine_warp(x, _mats(ones, zero, ty, tx),
+                           out_size=(height, width))
+    return fn
+
+
 def random_crop(height: int, width: int):
     def fn(key, x):
         b, h, w, _ = x.shape

@@ -127,6 +127,5 @@ def hallucinate_fused(static, dynamic, kernel, bias, interpret=False):
 def hallucinate_fused_from_params(hal_params, static, dynamic,
                                   interpret=False):
     """Adapter taking the flax Hallucinator param pytree."""
-    conv = hal_params["TorchConv_0"]["Conv_0"]
-    return hallucinate_fused(static, dynamic, conv["kernel"], conv["bias"],
-                             interpret=interpret)
+    return hallucinate_fused(static, dynamic, hal_params["kernel"],
+                             hal_params["bias"], interpret=interpret)
