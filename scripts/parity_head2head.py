@@ -221,12 +221,210 @@ def run_rebuild_dm(data, hp):
             "wall_sec": time.time() - t0}
 
 
+# ---------------------------------------------------------------------------
+# MTT head-to-head: shared expert buffer, reference driver vs rebuild
+# ---------------------------------------------------------------------------
+
+def run_reference_buffer(data, hp, buffer_dir):
+    """Train experts with the reference's own buffer.py on the fixture."""
+    import buffer as ref_buffer  # noqa (from /root/reference)
+
+    dst_train, dst_test = build_torch_datasets(data)
+    import torch
+
+    testloader = torch.utils.data.DataLoader(dst_test, batch_size=64,
+                                             shuffle=False, num_workers=0)
+    meta = data.meta
+
+    def fake_get_dataset(dataset, data_path):
+        return (3, tuple(meta.im_size), meta.num_classes, None,
+                list(meta.mean), list(meta.std), dst_train, dst_test,
+                testloader)
+
+    args = argparse.Namespace(
+        dataset="parity-fixture", model="ConvNet3D",
+        num_experts=hp["num_experts"], lr_teacher=hp["lr_teacher_buf"],
+        batch_train=hp["batch_train_buf"], batch_real=64, num_workers=0,
+        data_path="", buffer_path=buffer_dir,
+        train_epochs=hp["train_epochs"], decay=False, mom=0, l2=0,
+        save_interval=hp["num_experts"], preload=False,
+        frames=meta.frames)
+    np.random.seed(hp["seed"])
+    torch.manual_seed(hp["seed"])
+    orig = ref_buffer.get_dataset
+    ref_buffer.get_dataset = fake_get_dataset
+    try:
+        ref_buffer.main(args)
+    finally:
+        ref_buffer.get_dataset = orig
+
+
+def convert_torch_buffer(data, buffer_dir):
+    """replay_buffer_0.pt (lists of per-layer torch tensors) -> the
+    rebuild's TrajectoryBuffer flat-array format, via the named flax
+    param tree (no reliance on parameters() ordering vs ravel order)."""
+    import torch
+    from jax.flatten_util import ravel_pytree
+
+    from video_distillation_tpu.distill.mtt import TrajectoryBuffer
+
+    meta = data.meta
+
+    def port_conv(w):
+        return np.asarray(w.detach().numpy().transpose(2, 3, 4, 1, 0))
+
+    def snapshot_to_flat(snap):
+        # parameters() order for norm-free ConvNet3D: (weight, bias) per
+        # features conv (3), then logit conv
+        params = {}
+        for i in range(3):
+            params[f"TemporalIm2ColConv_{i}"] = {
+                "kernel": port_conv(snap[2 * i]),
+                "bias": np.asarray(snap[2 * i + 1].detach().numpy())}
+        params["TorchConv_0"] = {"Conv_0": {
+            "kernel": port_conv(snap[6]),
+            "bias": np.asarray(snap[7].detach().numpy())}}
+        flat, _ = ravel_pytree(params)
+        return np.asarray(flat, np.float32)
+
+    buf = torch.load(os.path.join(buffer_dir, "replay_buffer_0.pt"))
+    trajs = np.stack([np.stack([snapshot_to_flat(s) for s in traj])
+                      for traj in buf])
+    return TrajectoryBuffer(trajs)
+
+
+def run_reference_mtt(data, hp, buffer_dir, wandb_stub):
+    import torch
+
+    import distill_baseline as ref_driver  # noqa
+
+    meta = data.meta
+    dst_train, dst_test = build_torch_datasets(data)
+    testloader = torch.utils.data.DataLoader(dst_test, batch_size=64,
+                                             shuffle=False, num_workers=0)
+
+    def fake_get_dataset(dataset, data_path):
+        return (3, tuple(meta.im_size), meta.num_classes, None,
+                list(meta.mean), list(meta.std), dst_train, dst_test,
+                testloader)
+
+    args = argparse.Namespace(
+        dataset="parity-fixture", method="MTT", model="ConvNet3D",
+        ipc=hp["ipc"], eval_mode="S", outer_loop=1, inner_loop=1,
+        num_eval=hp["num_eval"], eval_it=hp["eval_it"],
+        epoch_eval_train=hp["epoch_eval_train"],
+        Iteration=hp["Iteration"], lr_net=hp["lr_net"],
+        lr_img=hp["lr_img"], lr_lr=hp["lr_lr"],
+        lr_teacher=hp["lr_teacher"], train_lr=True,
+        batch_real=64, batch_train=hp["batch_train"],
+        batch_syn=meta.num_classes * hp["ipc"], init="real",
+        data_path="", expert_epochs=hp["expert_epochs"],
+        syn_steps=hp["syn_steps"],
+        max_start_epoch=hp["max_start_epoch"], dis_metric="ours",
+        buffer_path=buffer_dir, num_workers=0, preload=False,
+        save_path="/tmp/parity_ref_mtt", frames=meta.frames,
+        distributed=False)
+
+    np.random.seed(hp["seed"])
+    torch.manual_seed(hp["seed"])
+    import random as _random
+
+    _random.seed(hp["seed"])
+    wandb_stub._logged.clear()
+    orig = ref_driver.get_dataset
+    ref_driver.get_dataset = fake_get_dataset
+    try:
+        t0 = time.time()
+        ref_driver.main(args)
+        wall = time.time() - t0
+    finally:
+        ref_driver.get_dataset = orig
+
+    accs, stds, gloss = {}, {}, {}
+    for step, scalars in wandb_stub._logged:
+        if "Accuracy/ConvNet3D" in scalars:
+            accs[step] = float(scalars["Accuracy/ConvNet3D"])
+        if "Std/ConvNet3D" in scalars:
+            stds[step] = float(scalars["Std/ConvNet3D"])
+        if "Grand_Loss" in scalars:
+            gloss[step] = float(scalars["Grand_Loss"])
+    return {"acc": accs, "std": stds, "grand_loss": gloss,
+            "wall_sec": wall}
+
+
+def run_rebuild_mtt(data, hp, buffers):
+    import jax
+    import jax.numpy as jnp
+
+    from video_distillation_tpu.distill.dm import init_synthetic_raw
+    from video_distillation_tpu.distill.evaluate import (EvalConfig,
+                                                         evaluate_many)
+    from video_distillation_tpu.distill.mtt import (ExpertSampler,
+                                                    _build_mtt_step,
+                                                    make_batch_plan)
+
+    meta = data.meta
+    rng = np.random.default_rng(hp["seed"])
+    test_rng = np.random.default_rng(hp["seed"] + 123)
+    key = jax.random.PRNGKey(hp["seed"])
+    syn, labels = init_synthetic_raw(key, data.train, hp["ipc"],
+                                     meta.frames, "real", rng)
+    n_syn = syn.shape[0]
+    step_fn = _build_mtt_step(
+        "ConvNet3D", 3, meta.num_classes, tuple(meta.im_size),
+        meta.frames, syn_steps=hp["syn_steps"], lr_img=hp["lr_img"],
+        lr_lr=hp["lr_lr"], train_lr=True, compute_dtype="float32")
+    sampler = ExpertSampler(buffers, rng)
+    mom_img = jnp.zeros_like(syn)
+    mom_lr = jnp.zeros(())
+    syn_lr = jnp.asarray(float(hp["lr_teacher"]))
+    ecfg = EvalConfig(model="ConvNet3D",
+                      epoch_eval_train=hp["epoch_eval_train"],
+                      lr_net=hp["lr_net"], batch_train=hp["batch_train"])
+    accs, stds, gloss = {}, {}, {}
+    t0 = time.time()
+    for it in range(hp["Iteration"] + 1):
+        if it % hp["eval_it"] == 0:
+            _, mean, std = evaluate_many(
+                jax.random.fold_in(key, 20_000_000 + it), hp["num_eval"],
+                syn, np.asarray(labels), data, ecfg, test_rng)
+            accs[it], stds[it] = mean, std
+            print(f"[rebuild-mtt] it={it} acc={mean:.4f}+-{std:.4f}")
+        if it == hp["Iteration"]:
+            break
+        th0, th1, _ = sampler.sample_segment(hp["max_start_epoch"],
+                                             hp["expert_epochs"])
+        plan = jnp.asarray(make_batch_plan(
+            rng, n_syn, meta.num_classes * hp["ipc"], hp["syn_steps"]))
+        out = step_fn(jax.random.fold_in(key, it), syn, labels, syn_lr,
+                      mom_img, mom_lr, jnp.asarray(th0),
+                      jnp.asarray(th1), plan)
+        syn, syn_lr, mom_img, mom_lr, loss = out[:5]
+        if it % hp["eval_it"] == 0:
+            gloss[it] = float(loss)
+    return {"acc": accs, "std": stds, "grand_loss": gloss,
+            "wall_sec": time.time() - t0}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the rebuild onto CPU (frees the TPU; "
+                         "env vars are too late — sitecustomize already "
+                         "imported jax)")
+    ap.add_argument("--mtt", action="store_true",
+                    help="also run the MTT head-to-head on a shared "
+                         "expert buffer (trained by the reference's own "
+                         "buffer.py and converted)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--json", default="/tmp/parity_dm.json")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     wandb_stub = install_stubs()
 
@@ -244,9 +442,12 @@ def main():
         hp = dict(ipc=1, num_eval=3, eval_it=50, epoch_eval_train=50,
                   Iteration=150, lr_net=0.01, lr_img=1.0, batch_real=8,
                   batch_train=64, seed=0)
+        # class_sep/noise tuned so accuracies sit mid-range: saturated
+        # 1.0 bands on both sides would compare nothing
         data = make_synthetic_video_data(num_classes=4, clips_per_class=25,
                                          test_per_class=5, frames=8,
-                                         im_size=(64, 64), name="parity4")
+                                         im_size=(64, 64), class_sep=0.22,
+                                         noise=45.0, name="parity4")
 
     print("=== rebuild DM ===")
     ours = run_rebuild_dm(data, hp)
@@ -256,6 +457,33 @@ def main():
     ref = run_reference_dm(data, hp, wandb_stub)
 
     report = {"hp": hp, "reference": ref, "rebuild": ours}
+
+    if args.mtt:
+        if args.quick:
+            mhp = dict(hp, num_experts=2, train_epochs=4,
+                       lr_teacher_buf=0.01, batch_train_buf=16,
+                       lr_teacher=0.01, lr_img=100.0, lr_lr=1e-5,
+                       syn_steps=2, expert_epochs=1, max_start_epoch=3,
+                       Iteration=20, eval_it=10)
+        else:
+            mhp = dict(hp, num_experts=3, train_epochs=10,
+                       lr_teacher_buf=0.01, batch_train_buf=32,
+                       lr_teacher=0.01, lr_img=100.0, lr_lr=1e-5,
+                       syn_steps=5, expert_epochs=1, max_start_epoch=8,
+                       Iteration=150, eval_it=50)
+        buffer_dir = "/tmp/parity_buf"
+        os.makedirs(buffer_dir, exist_ok=True)
+        if not os.path.exists(os.path.join(buffer_dir,
+                                           "replay_buffer_0.pt")):
+            print("=== reference buffer.py (shared experts) ===")
+            run_reference_buffer(data, mhp, buffer_dir)
+        buffers = [convert_torch_buffer(data, buffer_dir)]
+        print("=== rebuild MTT (shared buffer) ===")
+        ours_mtt = run_rebuild_mtt(data, mhp, buffers)
+        print("=== reference MTT (torch CPU, shared buffer) ===")
+        ref_mtt = run_reference_mtt(data, mhp, buffer_dir, wandb_stub)
+        report["mtt"] = {"hp": mhp, "reference": ref_mtt,
+                         "rebuild": ours_mtt}
     with open(args.json, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
@@ -278,6 +506,27 @@ def main():
             lines.append(f"| {it} | {ra:.4f} +- {rs:.4f} | "
                          f"{oa:.4f} +- {os_:.4f} | "
                          f"{'yes' if overlap else 'NO'} |")
+        if "mtt" in report:
+            m = report["mtt"]
+            lines += ["", "# MTT head-to-head (shared expert buffer)",
+                      "", f"hyperparameters: {m['hp']}", "",
+                      "| iter | reference top-1 | rebuild top-1 | "
+                      "ref grand loss | rebuild grand loss | overlap |",
+                      "|---|---|---|---|---|---|"]
+            rm, om = m["reference"], m["rebuild"]
+            for it in sorted(om["acc"]):
+                ra, rs = rm["acc"].get(it), rm["std"].get(it, 0.0)
+                oa, os_ = om["acc"][it], om["std"][it]
+                if ra is None:
+                    continue
+                overlap = abs(ra - oa) <= (rs + os_ + 1e-9)
+                rg = rm["grand_loss"].get(it)
+                og = om["grand_loss"].get(it)
+                rg_s = f"{rg:.4f}" if rg is not None else "-"
+                og_s = f"{og:.4f}" if og is not None else "-"
+                lines.append(f"| {it} | {ra:.4f} +- {rs:.4f} | "
+                             f"{oa:.4f} +- {os_:.4f} | {rg_s} | {og_s} |"
+                             f" {'yes' if overlap else 'NO'} |")
         with open(args.out, "w") as f:
             f.write("\n".join(lines) + "\n")
         print("wrote", args.out)

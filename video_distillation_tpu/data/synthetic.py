@@ -43,8 +43,13 @@ def synthetic_kwargs_from_name(name: str) -> dict:
 def make_synthetic_video_data(num_classes: int = 3, clips_per_class: int = 6,
                               test_per_class: int = 4, frames: int = 8,
                               im_size=(64, 64), test_video_len: int = 40,
-                              seed: int = 0,
+                              seed: int = 0, class_sep: float = 1.0,
+                              noise: float = 30.0,
                               name: str = "synthetic") -> VideoData:
+    """``class_sep`` scales how far class means sit from mid-gray and
+    ``noise`` the per-pixel jitter: class_sep=1 is trivially separable
+    (smoke tests); ~0.15-0.3 with noise ~45 gives mid-range accuracies
+    so statistical band comparisons (parity harness) carry signal."""
     rng = np.random.default_rng(seed)
     meta = DatasetMeta(name=name, channel=3, im_size=tuple(im_size),
                        num_classes=num_classes, mean=IMAGENET_MEAN,
@@ -54,11 +59,12 @@ def make_synthetic_video_data(num_classes: int = 3, clips_per_class: int = 6,
     h, w = im_size
     n_train = num_classes * clips_per_class
     # class-dependent mean so distillation/eval have signal to find
-    class_mu = rng.integers(40, 215, size=(num_classes, 3))
+    class_mu = 127.5 + class_sep * (
+        rng.integers(40, 215, size=(num_classes, 3)) - 127.5)
 
     def make_clip(c, f):
         base = class_mu[c][None, None, None, :] + rng.normal(
-            0, 30, size=(f, h, w, 3))
+            0, noise, size=(f, h, w, 3))
         return np.clip(base, 0, 255).astype(np.uint8)
 
     train_clips = np.stack([
