@@ -125,6 +125,23 @@ def build_torch_datasets(data):
     return TrainDS(), TestDS()
 
 
+def _force_final_eval(ref_driver):
+    """The reference calls evaluate_synset(test_freq=100/200); with
+    epoch_eval_train < test_freq its test branch (utils.py:868) never
+    fires and ``acc_test`` is unbound at the final print (utils.py:882)
+    — a reference-internal bug at small fixture scale.  Forcing
+    test_freq=None selects the ``ep == Epoch`` final-eval branch, the
+    intended semantics at full scale.  Returns an undo callable."""
+    orig = ref_driver.evaluate_synset
+
+    def final_only(*a, **kw):
+        kw["test_freq"] = None
+        return orig(*a, **kw)
+
+    ref_driver.evaluate_synset = final_only
+    return lambda: setattr(ref_driver, "evaluate_synset", orig)
+
+
 def run_reference_dm(data, hp, wandb_stub):
     """Run /root/reference/distill_baseline.py main() unmodified (DM)."""
     import torch
@@ -161,12 +178,14 @@ def run_reference_dm(data, hp, wandb_stub):
     wandb_stub._logged.clear()
     orig = ref_driver.get_dataset
     ref_driver.get_dataset = fake_get_dataset
+    undo_eval = _force_final_eval(ref_driver)
     try:
         t0 = time.time()
         ref_driver.main(args)
         wall = time.time() - t0
     finally:
         ref_driver.get_dataset = orig
+        undo_eval()
 
     accs, stds, losses = {}, {}, {}
     for step, scalars in wandb_stub._logged:
@@ -333,12 +352,14 @@ def run_reference_mtt(data, hp, buffer_dir, wandb_stub):
     wandb_stub._logged.clear()
     orig = ref_driver.get_dataset
     ref_driver.get_dataset = fake_get_dataset
+    undo_eval = _force_final_eval(ref_driver)
     try:
         t0 = time.time()
         ref_driver.main(args)
         wall = time.time() - t0
     finally:
         ref_driver.get_dataset = orig
+        undo_eval()
 
     accs, stds, gloss = {}, {}, {}
     for step, scalars in wandb_stub._logged:

@@ -104,22 +104,45 @@ def parse_trace(logdir: str, steps: int, top: int = 40):
             tid_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     dev_pids = [p for p, name in pid_names.items()
                 if "TPU" in name or "/device" in name.lower()]
+    # exact match: "Async XLA Ops" is a separate thread carrying async
+    # wrapper spans that overlap the leaf ops — substring matching would
+    # double-count every op
     op_tids = {k for k, name in tid_names.items()
-               if k[0] in dev_pids and "XLA Ops" in name}
+               if k[0] in dev_pids and name.strip() == "XLA Ops"}
     if not op_tids:  # fall back: all device threads
         op_tids = {k for k in tid_names if k[0] in dev_pids}
     print("device pids:", {p: pid_names[p] for p in dev_pids},
           "op threads:", sorted(tid_names[k] for k in op_tids))
-    agg = collections.Counter()
-    total = 0.0
+    # aggregate SELF time: loop spans (while.*) cover their body ops,
+    # which are emitted as separate nested events on the same thread —
+    # summing raw durations double-counts every op inside a loop. Per
+    # thread, sort by (start, -dur) and subtract each event's enclosed
+    # children via a span stack.
+    by_tid = collections.defaultdict(list)
     for e in events:
         if e.get("ph") != "X" or (e["pid"], e.get("tid")) not in op_tids:
             continue
-        name = e.get("name", "?")
-        dur = e.get("dur", 0) / 1e6  # us -> s
-        agg[name] += dur
-        total += dur
-    print(f"\ndevice op total {total:.3f}s over {steps} steps "
+        by_tid[(e["pid"], e.get("tid"))].append(
+            (e.get("ts", 0), e.get("dur", 0), e.get("name", "?")))
+    agg = collections.Counter()
+    total = 0.0
+    for evs in by_tid.values():
+        evs.sort(key=lambda t: (t[0], -t[1]))
+        stack = []  # each: [end_ts, name, start_ts, child_us]
+
+        def close(upto):
+            while stack and stack[-1][0] <= upto:
+                end, nm, start, child = stack.pop()
+                self_us = max(0.0, (end - start) - child)
+                agg[nm] += self_us / 1e6
+                if stack:
+                    stack[-1][3] += end - start
+        for ts, dur, name in evs:
+            close(ts)
+            stack.append([ts + dur, name, ts, 0.0])
+        close(float("inf"))
+    total = sum(agg.values())
+    print(f"\ndevice op self-time total {total:.3f}s over {steps} steps "
           f"({total / steps * 1e3:.1f} ms/step)\n")
     print(f"{'ms/step':>9}  {'%':>5}  op")
     for name, dur in agg.most_common(top):

@@ -78,13 +78,28 @@ def _build_dm_step(model_name: str, channel: int, num_classes: int,
         # bf16 conv compute requires bf16 params too, else XLA promotes
         params = jax.tree.map(lambda a: a.astype(cdt), params)
 
-        real = clips_u8[real_idx.reshape(-1)].reshape((-1,) + item_shape)
-        real = (real.astype(jnp.float32) - norm_mean) / norm_std
+        # chunk the (C * batch_real) real embed over class groups: one
+        # monolithic forward materialises an (C*B, F, H, W, 9) conv1
+        # im2col intermediate (11.5 GB at the miniUCF101 DM config,
+        # OOM); a scan of ~640-clip chunks bounds it while each chunk
+        # still fills the chip (and shards over the mesh identically)
+        cpc = 1
+        for d in range(num_classes, 0, -1):
+            if num_classes % d == 0 and d * batch_real <= 640:
+                cpc = d
+                break
+        idx_chunks = real_idx.reshape(num_classes // cpc,
+                                      cpc * batch_real)
 
-        feat_real = model_def.apply({"params": params}, real.astype(cdt),
-                                    train=True, output="feat")
-        feat_real = feat_real.astype(jnp.float32)
-        feat_real = feat_real.reshape(num_classes, batch_real, -1)
+        def embed_chunk(_, idx_row):
+            r = clips_u8[idx_row].reshape((-1,) + item_shape)
+            r = (r.astype(jnp.float32) - norm_mean) / norm_std
+            f = model_def.apply({"params": params}, r.astype(cdt),
+                                train=True, output="feat")
+            return None, f.astype(jnp.float32)
+
+        _, feats = jax.lax.scan(embed_chunk, None, idx_chunks)
+        feat_real = feats.reshape(num_classes, batch_real, -1)
         mean_real = jax.lax.stop_gradient(feat_real.mean(axis=1))
 
         def loss_fn(syn):
