@@ -267,7 +267,11 @@ def run_reference_buffer(data, hp, buffer_dir):
         data_path="", buffer_path=buffer_dir,
         train_epochs=hp["train_epochs"], decay=False, mom=0, l2=0,
         save_interval=hp["num_experts"], preload=False,
-        frames=meta.frames)
+        frames=meta.frames,
+        # epoch() reads eval_mode (utils.py:841) even though buffer.py's
+        # own argparse never defines it — it normally arrives via the
+        # shared CLI surface
+        eval_mode="S")
     np.random.seed(hp["seed"])
     torch.manual_seed(hp["seed"])
     orig = ref_buffer.get_dataset

@@ -39,15 +39,10 @@ from .s2d import S2DConfig, hallucinate
 
 
 def _compose_fn(hal_mode: str):
-    """Fused pallas hallucinator on TPU (forward-only is sufficient here:
-    the synthetic memories are frozen during evaluation); XLA conv
+    """hallucinate() routes 'concat' composition to the differentiable
+    Pallas hal_conv primitive on TPU (with a vmap batching rule, so the
+    num_eval-vmapped training scan uses it too) and the flax module
     elsewhere."""
-    if hal_mode == "concat" and jax.default_backend() == "tpu":
-        try:
-            from ..ops.pallas import hallucinate_fused_from_params
-            return hallucinate_fused_from_params
-        except Exception:  # pragma: no cover
-            pass
     return lambda p, s, d: hallucinate(p, s, d, hal_mode)
 
 TEST_BATCH = 64  # reference testloader batch size (utils.py:459)

@@ -109,8 +109,10 @@ class TemporalIm2ColConv(nn.Module):
     its select-and-scatter backward, and the layout copies around them,
     which together were ~half of the MTT inner-step time on a v5e.
     (Exactness: relu/pool commute with the monotonic max; bias is
-    per-output-channel so it commutes with the phase max; the caller
-    applies bias -> pool-max -> relu in that order.)
+    per-output-channel so it commutes with the phase max; the layer
+    applies pool-max -> bias (4x cheaper than bias -> pool-max, equal
+    up to bf16 rounding of tie candidates) and the caller applies the
+    activation after.)
     """
 
     features: int
@@ -135,9 +137,11 @@ class TemporalIm2ColConv(nn.Module):
                               (self.features,)) if self.use_bias else None
             y = _s2d2_gemm(x.reshape(B * F, Hc, Wc, Ck4), w2,
                            self.features)
+            y = _phase_max(y)
+            # per-channel bias commutes with the phase max — adding it
+            # AFTER costs 4x less bandwidth
             if bias is not None:
                 y = y + bias.astype(y.dtype)
-            y = _phase_max(y)
             return y.reshape(B, F, H // 4, W // 4, self.features)
 
         # x: (B, F, H, W, C)
@@ -157,9 +161,11 @@ class TemporalIm2ColConv(nn.Module):
             fused = (_s2d2_conv_pool if S2D_POOL_MODE == "s2d2"
                      else _s2d4_conv_pool)
             y = fused(x, w2, self.features)
+            y = _phase_max(y)  # phase max == the (2,2) spatial pool
+            # per-channel bias commutes with the phase max (4x cheaper
+            # added after)
             if bias is not None:
                 y = y + bias.astype(y.dtype)
-            y = _phase_max(y)  # phase max == the (2,2) spatial pool
             return y.reshape(B, F, H // 4, W // 4, self.features)
 
         if C >= 16 and TEMPORAL_SUM_PATH:
@@ -241,7 +247,7 @@ def _s2d4_conv_pool(x, w2, features: int):
     y = jax.lax.conv_general_dilated(
         xv, Ws.astype(xv.dtype), window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y.reshape(B * F, H // 4, W // 4, 4, O)
+    return y  # (B*F, H//4, W//4, 4*O), phases as channel blocks
 
 
 # 2x2-cell variant of the same fused geometry: output (i, j) at pool
@@ -299,8 +305,10 @@ def _s2d2_gemm(xv, w2, features: int):
     y = jax.lax.conv_general_dilated(
         xv, Ws.astype(xv.dtype), window_strides=(2, 2), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    # output spatial = ((Hc-5)//2+1, (Wc-5)//2+1) = (H//4, W//4)
-    return y.reshape(BF, y.shape[1], y.shape[2], 4, O)
+    # output spatial = ((Hc-5)//2+1, (Wc-5)//2+1) = (H//4, W//4); the 4
+    # phases stay packed flat as contiguous channel blocks (a*O + o) —
+    # _phase_max consumes this layout directly
+    return y
 
 
 def _s2d2_conv_pool(x, w2, features: int):
@@ -312,36 +320,45 @@ def _s2d2_conv_pool(x, w2, features: int):
     return _s2d2_gemm(xv, w2, features)
 
 
+def _phase_slices(y):
+    O = y.shape[-1] // 4
+    return (y[..., 0 * O:1 * O], y[..., 1 * O:2 * O],
+            y[..., 2 * O:3 * O], y[..., 3 * O:4 * O])
+
+
 @jax.custom_jvp
 def _phase_max(y):
-    """Max over the pool-phase axis 3 of (B', Ho, Wo, 4, O).
+    """Max over the 4 pool phases packed as contiguous channel blocks of
+    (B', Ho, Wo, 4*O) — a pairwise max tree over CONTIGUOUS slices.
 
-    custom_jvp so that reverse-mode only keeps the argmax as residual:
-    the default jnp.max VJP makes XLA rematerialise the (large) pre-max
-    conv output and run a 321 MB compare/select chain; here the tangent
-    is sum(t * onehot(argmax)) whose transpose is a pure elementwise
-    broadcast-multiply. Ties route the gradient to the first maximal
-    phase, matching torch's MaxPool2d convention."""
-    return jnp.max(y, axis=3)
+    Earlier formulations reshaped to (B', Ho, Wo, 4, O) and reduced axis
+    3; on the v5e that 5-D view forced batch-minor layout copies of the
+    full conv output (~10 ms each at miniUCF101 shapes), u8/s32 argmax
+    materialisation (iota_reduce fusions), and pad+add phase scatters in
+    the second-order transpose — ~100 ms/outer of pure glue. The flat
+    pairwise tree consumes the GEMM output in its native layout; every
+    level is an elementwise maximum of contiguous channel slices that
+    XLA fuses into a single pass, and the JVP/transpose are where-chains
+    with masks recomputed from the (already-residual) conv output.
+
+    Tie-breaking matches torch's MaxPool2d (gradient to the FIRST
+    maximal element in window scan order): phase channel order is
+    (a_y, a_x) row-major = the 2x2 window scan order, and where(a >= b)
+    prefers the earlier operand at every tree level."""
+    y0, y1, y2, y3 = _phase_slices(y)
+    return jnp.maximum(jnp.maximum(y0, y1), jnp.maximum(y2, y3))
 
 
 @_phase_max.defjvp
 def _phase_max_jvp(primals, tangents):
     (y,), (t,) = primals, tangents
-    m = jnp.max(y, axis=3)
-    # u8 index: the broadcast-compare against the phase iota is pure
-    # bandwidth; at s32 XLA materialises a 4x larger intermediate
-    idx = jnp.argmax(y, axis=3).astype(jnp.uint8)
-    # explicit per-phase sum instead of sum(t * onehot): the onehot
-    # broadcast materialised a (B', Ho, Wo, P, O) intermediate (~400 MB
-    # at the miniUCF101 shapes); the unrolled form fuses each term into
-    # one strided read of t, and its transpose into P masked slice
-    # writes — no full-size intermediate either way
-    tm = None
-    for a in range(y.shape[3]):
-        term = t[:, :, :, a, :] * (idx == jnp.uint8(a)).astype(t.dtype)
-        tm = term if tm is None else tm + term
-    return m, tm
+    y0, y1, y2, y3 = _phase_slices(y)
+    t0, t1, t2, t3 = _phase_slices(t)
+    m01 = jnp.maximum(y0, y1)
+    m23 = jnp.maximum(y2, y3)
+    t01 = jnp.where(y0 >= y1, t0, t1)
+    t23 = jnp.where(y2 >= y3, t2, t3)
+    return (jnp.maximum(m01, m23), jnp.where(m01 >= m23, t01, t23))
 
 
 class TorchDense(nn.Module):
