@@ -119,11 +119,20 @@ def parse_trace(logdir: str, steps: int, top: int = 40):
     # thread, sort by (start, -dur) and subtract each event's enclosed
     # children via a span stack.
     by_tid = collections.defaultdict(list)
+    meta = {}  # op name -> (hlo_category, result-shape snippet)
     for e in events:
         if e.get("ph") != "X" or (e["pid"], e.get("tid")) not in op_tids:
             continue
+        name = e.get("name", "?")
         by_tid[(e["pid"], e.get("tid"))].append(
-            (e.get("ts", 0), e.get("dur", 0), e.get("name", "?")))
+            (e.get("ts", 0), e.get("dur", 0), name))
+        if name not in meta:
+            args_ = e.get("args", {}) or {}
+            long = args_.get("long_name", "")
+            # result shape = text between '=' and 'fusion('/op name
+            shape = long.split("=", 1)[1].strip().split(" ")[0] if "=" in long else ""
+            meta[name] = (args_.get("hlo_category", "?"),
+                          shape.split("{")[0])
     agg = collections.Counter()
     total = 0.0
     for evs in by_tid.values():
@@ -144,10 +153,17 @@ def parse_trace(logdir: str, steps: int, top: int = 40):
     total = sum(agg.values())
     print(f"\ndevice op self-time total {total:.3f}s over {steps} steps "
           f"({total / steps * 1e3:.1f} ms/step)\n")
-    print(f"{'ms/step':>9}  {'%':>5}  op")
+    by_cat = collections.Counter()
+    for name, dur in agg.items():
+        by_cat[meta.get(name, ("?", ""))[0]] += dur
+    print(f"{'ms/step':>9}  {'%':>5}  hlo_category")
+    for cat, dur in by_cat.most_common():
+        print(f"{dur / steps * 1e3:9.2f}  {100 * dur / total:5.1f}  {cat}")
+    print(f"\n{'ms/step':>9}  {'%':>5}  op")
     for name, dur in agg.most_common(top):
+        cat, shape = meta.get(name, ("?", ""))
         print(f"{dur / steps * 1e3:9.2f}  {100 * dur / total:5.1f}  "
-              f"{name[:110]}")
+              f"{name[:40]:40s} [{cat}] {shape[:60]}")
 
 
 if __name__ == "__main__":

@@ -190,7 +190,7 @@ def test_temporal_conv_sum_path_matches_conv3d():
     assert float(jnp.max(jnp.abs(y - ref))) < 1e-5
 
 
-@pytest.mark.parametrize("s2d_mode", ["s2d2", "s2d4"])
+@pytest.mark.parametrize("s2d_mode", ["direct10", "s2d2", "s2d4"])
 def test_fused_first_stage_matches_unfused(s2d_mode, monkeypatch):
     """fuse_pool (space-to-depth conv + phase max) == conv -> relu ->
     (2,2) spatial max-pool, values and gradients, in both s2d packings."""
@@ -220,12 +220,16 @@ def test_fused_first_stage_matches_unfused(s2d_mode, monkeypatch):
                      (jnp.linalg.norm(a) + 1e-30)) < 1e-5
 
 
-def test_convnet3d_packed_input_matches_raw():
+def test_convnet3d_packed_input_matches_raw(monkeypatch):
     """ConvNet3D(packed_input=True) over s2d2_pack'ed batches must equal
     the raw-input model with the SAME params (the MTT unroll stages
-    batches pre-packed; expert trajectories come from raw training)."""
+    batches pre-packed; expert trajectories come from raw training).
+    The pre-packed capability is specific to the s2d2 formulation (the
+    default first stage is the pack-free direct10), so pin the mode."""
+    from video_distillation_tpu.models import layers
     from video_distillation_tpu.models.layers import s2d2_pack
 
+    monkeypatch.setattr(layers, "S2D_POOL_MODE", "s2d2")
     model = ConvNet3D(num_classes=5, frames=8, im_size=(64, 64))
     assert ConvNet3D.supports_packed_input(im_size=(64, 64))
     packed = model.clone(packed_input=True)

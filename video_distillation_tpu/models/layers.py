@@ -51,10 +51,21 @@ def torch_bias_uniform(fan_in: int, dtype=jnp.float32):
 # path instead for measurements.
 TEMPORAL_SUM_PATH = True
 
-# Space-to-depth factor for the fused conv1+pool first stage: "s2d2"
-# (2x2 cells, (5,5,36,4O) packed kernel, 2.05x tap inflation) or "s2d4"
-# (4x4 cells, (3,3,16*3C,4O), 2.9x inflation). Both produce identical
-# phase outputs; s2d2 does ~30% fewer MXU FLOPs on the v5e.
+# Formulation of the fused conv1+pool first stage. All modes produce
+# identical phase outputs:
+#   "s2d2" — 2x2 cells, (5,5,36,4O) packed kernel, 2.05x tap inflation.
+#   "s2d4" — 4x4 cells, (3,3,16*3C,4O), 2.9x inflation.
+#   "direct10" — ONE 10x10 stride-4 conv on the 9-channel temporal-im2col
+#     input with the four pool phases scattered into (10,10,3C,4O) kernel
+#     blocks; the phase geometry is absorbed into the conv's own patch
+#     extraction, so the s2d2 packing pipeline (~110 ms/outer of pure
+#     data formatting in the S2D-MTT autodiff passes) disappears.
+#     MEASURED NET LOSS on the v5e full rof graph (880 vs 810 ms/outer
+#     device self-time): XLA's dgrad emitter for the stride-4 10x10
+#     transposed conv runs at ~2.2x the s2d2 dgrad's time (162 vs 72 ms)
+#     and wgrad/fwd are ~1.5x, more than refunding the formatting win.
+#     Kept as an A/B mode — an isolated fwd+dgrad+wgrad probe measured
+#     it 2.1x FASTER, a reminder that only full-graph traces count.
 import os as _os
 
 S2D_POOL_MODE = _os.environ.get("VD_S2D_POOL_MODE", "s2d2")
@@ -158,8 +169,9 @@ class TemporalIm2ColConv(nn.Module):
         if self.fuse_pool:
             assert H % 4 == 0 and W % 4 == 0, (
                 "fuse_pool requires H, W divisible by 4")
-            fused = (_s2d2_conv_pool if S2D_POOL_MODE == "s2d2"
-                     else _s2d4_conv_pool)
+            fused = {"direct10": _direct10_conv_pool,
+                     "s2d2": _s2d2_conv_pool,
+                     "s2d4": _s2d4_conv_pool}[S2D_POOL_MODE]
             y = fused(x, w2, self.features)
             y = _phase_max(y)  # phase max == the (2,2) spatial pool
             # per-channel bias commutes with the phase max (4x cheaper
@@ -272,13 +284,13 @@ def s2d2_pack(x):
     the fused first stage consumes. Slot order: (py, px, dt, c).
 
     NOTE (measured on the v5e): staging MTT batches pre-packed is a NET
-    LOSS and is disabled (mtt.py PACK_AT_STAGING=False). The in-scan
-    packing costs ~40 ms/outer across all autodiff passes, while staged
-    packing cost ~90 ms/outer (the pad/concat/reshape/transpose chain
-    materialises ~5 intermediates) plus ~20 ms of extra scan-slice bytes
-    (packed batches are 1.7x larger). A strided-slice+concat variant was
-    also measured and is catastrophically WORSE (~530 ms/outer): XLA
-    runs stride-2 slices of bf16 at 17-39 GB/s — landmine."""
+    LOSS and is disabled (mtt.py PACK_AT_STAGING=False). Re-measured
+    with the flat phase-max (r3): staged 852 ms/outer device self-time
+    vs 810 in-scan — the staged pack chain materialises ~5 intermediates
+    AND the 1.7x-larger packed batches inflate scan-slice bytes. A
+    strided-slice+concat variant was also measured and is
+    catastrophically WORSE (~530 ms/outer): XLA runs stride-2 slices of
+    bf16 at 17-39 GB/s — landmine."""
     B, F, H, W, C = x.shape
     Ck = 3 * C
     xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
@@ -318,6 +330,40 @@ def _s2d2_conv_pool(x, w2, features: int):
     B, F, H, W, C = x.shape
     xv = s2d2_pack(x).reshape(B * F, H // 2 + 4, W // 2 + 4, 12 * C)
     return _s2d2_gemm(xv, w2, features)
+
+
+def _direct10_conv_pool(x, w2, features: int):
+    """(B, F, H, W, C) x (7,7,3C,O) -> (B*F, H/4, W/4, 4*O): the four
+    (2,2)-pool-phase outputs of the stride-2 7x7 temporal-im2col conv,
+    as ONE 10x10 stride-4 conv on the un-packed 9-channel input.
+
+    Pool output (i, j) at phase (a, b) is the stride-2 conv at input
+    rows 4i + 2a - 3 + u (u in [0,7)), i.e. padded-row offsets
+    p = 2a + u in [0, 9) — so scattering w2 into a (10,10,3C,O) block
+    per phase and concatenating the four blocks along the output axis
+    turns phase extraction into the conv's OWN patch extraction. Tap
+    inflation matches s2d2 (4*70/(4*49) = 1.43x per axis => 2.04x), but
+    the s2d2 pad/reshape/transpose packing pipeline disappears — it cost
+    ~110 ms/outer of pure data formatting across the S2D-MTT autodiff
+    passes on a v5e (this formulation measured 2.1x faster end-to-end
+    on the fwd+dgrad+wgrad chain)."""
+    B, F, H, W, C = x.shape
+    Ck = 3 * C
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    xs = jnp.concatenate(
+        [xp[:, 0:F], xp[:, 1:F + 1], xp[:, 2:F + 2]], axis=-1)
+    xf = xs.reshape(B * F, H, W, Ck)
+    w10 = jnp.concatenate(
+        [jnp.pad(w2, ((2 * a, 3 - 2 * a), (2 * b, 3 - 2 * b),
+                      (0, 0), (0, 0)))
+         for a in (0, 1) for b in (0, 1)], axis=-1)  # (10,10,Ck,4O)
+    y = jax.lax.conv_general_dilated(
+        xf, w10.astype(xf.dtype), window_strides=(4, 4),
+        padding=((3, 5), (3, 5)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # (B*F, H//4, W//4, 4*O) — phases as contiguous channel blocks in
+    # (a, b) row-major order, the layout _phase_max consumes
+    return y
 
 
 def _phase_slices(y):
