@@ -246,6 +246,8 @@ def run_rebuild_dm(data, hp):
 
 def run_reference_buffer(data, hp, buffer_dir):
     """Train experts with the reference's own buffer.py on the fixture."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
     import buffer as ref_buffer  # noqa (from /root/reference)
 
     dst_train, dst_test = build_torch_datasets(data)
@@ -319,6 +321,8 @@ def convert_torch_buffer(data, buffer_dir):
 def run_reference_mtt(data, hp, buffer_dir, wandb_stub):
     import torch
 
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
     import distill_baseline as ref_driver  # noqa
 
     meta = data.meta
@@ -444,6 +448,12 @@ def main():
                          "buffer.py and converted)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--json", default="/tmp/parity_dm.json")
+    ap.add_argument("--mtt_only", action="store_true",
+                    help="skip the DM legs (reuse for MTT re-runs)")
+    ap.add_argument("--mtt_lr_img", type=float, default=100.0,
+                    help="MTT lr_img (the reference scripts tune this "
+                         "per dataset; 100 diverges on the tiny fixture "
+                         "— both sides — use ~10 for a training run)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -474,28 +484,30 @@ def main():
                                          im_size=(64, 64), class_sep=0.22,
                                          noise=45.0, name="parity4")
 
-    print("=== rebuild DM ===")
-    ours = run_rebuild_dm(data, hp)
-    print("=== reference DM (torch CPU) ===")
     import torch
     torch.set_num_threads(os.cpu_count() or 8)
-    ref = run_reference_dm(data, hp, wandb_stub)
+    if args.mtt_only:
+        report = {"hp": hp}
+    else:
+        print("=== rebuild DM ===")
+        ours = run_rebuild_dm(data, hp)
+        print("=== reference DM (torch CPU) ===")
+        ref = run_reference_dm(data, hp, wandb_stub)
+        report = {"hp": hp, "reference": ref, "rebuild": ours}
 
-    report = {"hp": hp, "reference": ref, "rebuild": ours}
-
-    if args.mtt:
+    if args.mtt or args.mtt_only:
         if args.quick:
             mhp = dict(hp, num_experts=2, train_epochs=4,
                        lr_teacher_buf=0.01, batch_train_buf=16,
-                       lr_teacher=0.01, lr_img=100.0, lr_lr=1e-5,
-                       syn_steps=2, expert_epochs=1, max_start_epoch=3,
-                       Iteration=20, eval_it=10)
+                       lr_teacher=0.01, lr_img=args.mtt_lr_img,
+                       lr_lr=1e-5, syn_steps=2, expert_epochs=1,
+                       max_start_epoch=3, Iteration=20, eval_it=10)
         else:
             mhp = dict(hp, num_experts=3, train_epochs=10,
                        lr_teacher_buf=0.01, batch_train_buf=32,
-                       lr_teacher=0.01, lr_img=100.0, lr_lr=1e-5,
-                       syn_steps=5, expert_epochs=1, max_start_epoch=8,
-                       Iteration=150, eval_it=50)
+                       lr_teacher=0.01, lr_img=args.mtt_lr_img,
+                       lr_lr=1e-5, syn_steps=5, expert_epochs=1,
+                       max_start_epoch=8, Iteration=150, eval_it=50)
         buffer_dir = "/tmp/parity_buf"
         os.makedirs(buffer_dir, exist_ok=True)
         if not os.path.exists(os.path.join(buffer_dir,
@@ -522,15 +534,18 @@ def main():
                  f"hyperparameters: {hp}", "",
                  "| iter | reference top-1 | rebuild top-1 | bands overlap |",
                  "|---|---|---|---|"]
-        for it in sorted(ours["acc"]):
-            ra, rs = ref["acc"].get(it), ref["std"].get(it, 0.0)
-            oa, os_ = ours["acc"][it], ours["std"][it]
-            if ra is None:
-                continue
-            overlap = abs(ra - oa) <= (rs + os_ + 1e-9)
-            lines.append(f"| {it} | {ra:.4f} +- {rs:.4f} | "
-                         f"{oa:.4f} +- {os_:.4f} | "
-                         f"{'yes' if overlap else 'NO'} |")
+        if args.mtt_only:
+            lines = lines[:1] + ["", "(MTT-only re-run)"]
+        else:
+            for it in sorted(ours["acc"]):
+                ra, rs = ref["acc"].get(it), ref["std"].get(it, 0.0)
+                oa, os_ = ours["acc"][it], ours["std"][it]
+                if ra is None:
+                    continue
+                overlap = abs(ra - oa) <= (rs + os_ + 1e-9)
+                lines.append(f"| {it} | {ra:.4f} +- {rs:.4f} | "
+                             f"{oa:.4f} +- {os_:.4f} | "
+                             f"{'yes' if overlap else 'NO'} |")
         if "mtt" in report:
             m = report["mtt"]
             lines += ["", "# MTT head-to-head (shared expert buffer)",

@@ -131,17 +131,28 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
         model_def = model_def.clone(packed_input=True)
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
-    def ce(th, x, y, w, step_i, drop_key):
-        # mixed precision: bf16 conv compute, fp32 master θ —
-        # casting only x would promote convs back to fp32
-        p = jax.tree.map(lambda a: a.astype(cdt), unravel(th))
-        logits = model_def.apply(
-            {"params": p}, x.astype(cdt), train=True,
-            rngs={"dropout": jax.random.fold_in(drop_key, step_i)})
-        logits = logits.astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        pick = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
-        return jnp.sum(pick * w) / jnp.maximum(jnp.sum(w), 1.0)
+    def ce_in(dt):
+        def ce(th, x, y, w, step_i, drop_key):
+            # mixed precision: bf16 conv compute, fp32 master θ —
+            # casting only x would promote convs back to fp32
+            p = jax.tree.map(lambda a: a.astype(dt), unravel(th))
+            logits = model_def.apply(
+                {"params": p}, x.astype(dt), train=True,
+                rngs={"dropout": jax.random.fold_in(drop_key, step_i)})
+            logits = logits.astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            pick = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+            return jnp.sum(pick * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return ce
+
+    ce = ce_in(cdt)
+    # The reverse-over-forward second-order pass runs in fp32 even under
+    # compute_dtype=bfloat16: at flagship shapes (112^2 x 16,
+    # syn_steps=10) the bf16 HVP produces inf/nan on the FIRST outer
+    # step regardless of cotangent scaling, while fp32 is clean
+    # (measured on a v5e; fwd + first-order grads stay bf16 — they are
+    # the validated round-2 configuration).
+    ce_hvp = ce_in(jnp.float32)
 
     def _float0(a):
         return np.zeros(a.shape, jax.dtypes.float0)
@@ -162,7 +173,8 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
 
         def hvp_target(th, xx):
             return jax.jvp(
-                lambda t: ce(t, xx, y, w, step_i, drop_key), (th,), (v,))[1]
+                lambda t: ce_hvp(t, xx, y, w, step_i, drop_key), (th,),
+                (v,))[1]
 
         gt, gx = jax.grad(hvp_target, argnums=(0, 1))(theta, x)
         return (gt, gx, _float0(y), jnp.zeros_like(w), _float0(step_i),

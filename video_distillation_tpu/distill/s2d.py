@@ -72,7 +72,9 @@ def hallucinate(hal_params, static, dynamic, mode: str = "concat",
         hal_params = jax.tree.map(lambda a: a.astype(dtype), hal_params)
         static = static.astype(dtype)
         dynamic = dynamic.astype(dtype)
-    if mode == "concat" and jax.default_backend() == "tpu":
+    import os
+    if (mode == "concat" and jax.default_backend() == "tpu"
+            and not os.environ.get("VD_DISABLE_PALLAS_HAL")):
         from ..ops.pallas.hal_vjp import hal_conv_from_params
 
         return hal_conv_from_params(hal_params, static, dynamic)
