@@ -3,12 +3,14 @@ sequential path."""
 
 import jax
 import numpy as np
+import pytest
 
 from video_distillation_tpu.data import make_synthetic_video_data
 from video_distillation_tpu.distill import EvalConfig, evaluate_many
 from video_distillation_tpu.distill.dm import init_synthetic_raw
 
 
+@pytest.mark.slow
 def test_vmapped_eval_matches_sequential_shapes():
     data = make_synthetic_video_data(num_classes=3, clips_per_class=6,
                                      test_per_class=4, frames=8,
@@ -30,6 +32,7 @@ def test_vmapped_eval_matches_sequential_shapes():
     assert mean > 0.5
 
 
+@pytest.mark.slow
 def test_vmapped_s2d_eval_matches_sequential():
     """mode='multi-static' (the flagship S2D preset) must run vmapped and
     agree with the sequential path in distribution."""
