@@ -22,7 +22,10 @@ def test_mesh_and_data_sharding():
     np.testing.assert_array_equal(np.asarray(xd), x)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
+    # the driver runs this itself every round; here it is compile-bound
+    # (minutes with a cold cache) so it stays out of the fast subset
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

@@ -146,9 +146,20 @@ def load_imagenet(data_path: str, workers: int = 16) -> VideoData:
     resized = os.path.join(data_path, f"imagenet_{h}x{w}")
     root = resized if os.path.isdir(resized) else os.path.join(
         data_path, "imagenet")
-    cache = os.path.join(data_path, "ImageNet_images.npz")
-    if os.path.exists(cache):
-        with np.load(cache) as z:
+    # per-split .npy cache: np.save streams the pre-allocated array to
+    # disk without a compressed-zip staging copy (the train split alone is
+    # ~16 GB uint8 at 1.28M images); the legacy single-npz cache is still
+    # honoured if present
+    cache_npz = os.path.join(data_path, "ImageNet_images.npz")
+    cache_dir = os.path.join(data_path, "ImageNet_images")
+    names = ("xtr", "ytr", "xte", "yte")
+    if all(os.path.exists(os.path.join(cache_dir, f"{n}.npy"))
+           for n in names):
+        arrs = [np.load(os.path.join(cache_dir, f"{n}.npy"), mmap_mode="r")
+                for n in names]
+        return from_arrays("ImageNet", *arrs)
+    if os.path.exists(cache_npz):
+        with np.load(cache_npz) as z:
             return from_arrays("ImageNet", z["xtr"], z["ytr"], z["xte"],
                                z["yte"])
 
@@ -166,18 +177,24 @@ def load_imagenet(data_path: str, workers: int = 16) -> VideoData:
                 if f.lower().endswith((".jpeg", ".jpg", ".png")):
                     jobs.append((os.path.join(d, f), wnid_to_idx[wnid],
                                  meta.im_size))
+        # pre-allocate the output array and fill it from a streaming
+        # imap — peak RSS stays ~1x the split array instead of several
+        # multiples (list-of-arrays + np.stack copy)
+        xs = np.empty((len(jobs), h, w, 3), np.uint8)
+        ys = np.empty(len(jobs), np.int32)
         if workers > 1 and len(jobs) > 64:
             with Pool(workers) as pool:
-                decoded = pool.map(_decode_one, jobs, chunksize=256)
+                for i, (img, label) in enumerate(
+                        pool.imap(_decode_one, jobs, chunksize=256)):
+                    xs[i], ys[i] = img, label
         else:
-            decoded = [_decode_one(j) for j in jobs]
-        xs = (np.stack([d[0] for d in decoded]) if decoded
-              else np.empty((0, h, w, 3), np.uint8))
-        ys = np.asarray([d[1] for d in decoded], np.int32)
+            for i, job in enumerate(jobs):
+                xs[i], ys[i] = _decode_one(job)
         splits[split] = (xs, ys)
-    np.savez_compressed(cache, xtr=splits["train"][0],
-                        ytr=splits["train"][1], xte=splits["val"][0],
-                        yte=splits["val"][1])
+    os.makedirs(cache_dir, exist_ok=True)
+    for n, arr in zip(names, (splits["train"][0], splits["train"][1],
+                              splits["val"][0], splits["val"][1])):
+        np.save(os.path.join(cache_dir, f"{n}.npy"), arr)
     return from_arrays("ImageNet", *splits["train"], *splits["val"])
 
 

@@ -82,12 +82,17 @@ def _build_dm_step(model_name: str, channel: int, num_classes: int,
         # monolithic forward materialises an (C*B, F, H, W, 9) conv1
         # im2col intermediate (11.5 GB at the miniUCF101 DM config,
         # OOM); a scan of ~640-clip chunks bounds it while each chunk
-        # still fills the chip (and shards over the mesh identically)
-        cpc = 1
-        for d in range(num_classes, 0, -1):
-            if num_classes % d == 0 and d * batch_real <= 640:
-                cpc = d
-                break
+        # still fills the chip (and shards over the mesh identically).
+        # batchnorm models must embed monolithically — per-chunk batch
+        # statistics would silently change the DM feature means
+        if getattr(model_def, "net_norm", "none") == "batchnorm":
+            cpc = num_classes
+        else:
+            cpc = 1
+            for d in range(num_classes, 0, -1):
+                if num_classes % d == 0 and d * batch_real <= 640:
+                    cpc = d
+                    break
         idx_chunks = real_idx.reshape(num_classes // cpc,
                                       cpc * batch_real)
 

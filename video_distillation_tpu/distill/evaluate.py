@@ -149,11 +149,26 @@ def _eval_slot_draw(key, idx, spc, dpc, n_hal):
     return label, static_idx, dynamic_idx, hal_idx
 
 
-@functools.lru_cache(maxsize=32)
 def _build_train_fn(model_name: str, channel: int, num_classes: int,
                     im_size: Tuple[int, int], frames: int, n_syn: int,
                     cfg: EvalConfig, s2d_key: Optional[tuple],
                     mesh=None):
+    """lru_cache wrapper: the CURRENT mesh must be part of the cache key —
+    caching on mesh=None would silently reuse a compiled fn whose sharding
+    constraint is bound to a stale global mesh after set_mesh()."""
+    if mesh is None:
+        from ..parallel import get_mesh
+        mesh = get_mesh()
+    return _build_train_fn_cached(model_name, channel, num_classes,
+                                  im_size, frames, n_syn, cfg, s2d_key,
+                                  mesh)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_train_fn_cached(model_name: str, channel: int, num_classes: int,
+                           im_size: Tuple[int, int], frames: int, n_syn: int,
+                           cfg: EvalConfig, s2d_key: Optional[tuple],
+                           mesh):
     """Compile the full synthetic-training run as one jitted scan.
 
     The per-step batch axis is -1-padded to a multiple of the mesh and
@@ -165,9 +180,6 @@ def _build_train_fn(model_name: str, channel: int, num_classes: int,
     epochs = cfg.epoch_eval_train + 1
     bt = min(cfg.batch_train, n_syn)
     nb = _cdiv(n_syn, bt)
-    if mesh is None:
-        from ..parallel import get_mesh
-        mesh = get_mesh()
     drop_epoch = cfg.epoch_eval_train // 2 + 1
     s2d_cfg = None
     if s2d_key is not None:

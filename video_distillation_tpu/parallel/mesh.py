@@ -67,18 +67,28 @@ def init_distributed(coordinator_address: Optional[str] = None,
         # TPU_WORKER_HOSTNAMES is set even on single-host TPUs (e.g.
         # 'localhost' under the axon tunnel) — it only marks a pod when it
         # lists >1 worker
-        hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
-        pod_markers = [k for k in ("MEGASCALE_COORDINATOR_ADDRESS",
-                                   "TPU_PROCESS_ADDRESSES")
+        pod_markers = [k for k in ("MEGASCALE_COORDINATOR_ADDRESS",)
                        if os.environ.get(k)]
-        if "," in hostnames:
-            pod_markers.append("TPU_WORKER_HOSTNAMES")
+        # TPU_WORKER_HOSTNAMES / TPU_PROCESS_ADDRESSES are set even on
+        # single-host TPUs (e.g. 'localhost' under the axon tunnel) —
+        # they only mark a pod when they list >1 entry
+        for k in ("TPU_WORKER_HOSTNAMES", "TPU_PROCESS_ADDRESSES"):
+            if "," in os.environ.get(k, ""):
+                pod_markers.append(k)
         if not pod_markers:
             # single chip / CPU test mesh: no-op single-process run
             return False
         # multi-host pod without explicit cluster config: let JAX's
         # cluster auto-detection resolve coordinator/process ids
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:
+            # e.g. backend already initialised by an ambient sitecustomize
+            # import — degrade to single-process rather than crash
+            import warnings
+            warnings.warn(f"jax.distributed.initialize() failed ({e}); "
+                          "continuing single-process")
+            return False
         _DISTRIBUTED = True
         return True
     jax.distributed.initialize(coordinator_address=coordinator_address,

@@ -60,6 +60,37 @@ def latest_step(path: str) -> Optional[int]:
         return pickle.load(f)["step"]
 
 
+def _migrate_legacy(tree: Any, template: Any):
+    """Lift pre-r3 checkpoint layouts into the current structure:
+
+    * hallucinator params were nested ``{'TorchConv_0': {'Conv_0':
+      {kernel, bias}}}`` before the Pallas primitive flattened them to
+      ``{kernel, bias}`` (models/hallucinator.py) — unwrap the nesting;
+    * scalar leaves standing where the template holds a vector (the FRePo
+      driver's ``best_acc`` went scalar -> per-model vector) broadcast.
+    """
+    if isinstance(tree, dict):
+        while (set(tree.keys()) <= {"TorchConv_0", "Conv_0"}
+               and len(tree) == 1):
+            tree = next(iter(tree.values()))
+        if isinstance(template, dict):
+            return {k: _migrate_legacy(tree.get(k), template[k])
+                    for k in template}
+        return tree
+    if isinstance(tree, (list, tuple)) and isinstance(template,
+                                                      (list, tuple)):
+        return type(template)(_migrate_legacy(t, tt)
+                              for t, tt in zip(tree, template))
+    if tree is None:
+        return template
+    arr = np.asarray(tree)
+    tmpl = np.asarray(template)
+    if arr.shape != tmpl.shape and arr.size == 1:
+        return np.broadcast_to(arr.reshape(()), tmpl.shape).astype(
+            tmpl.dtype).copy()
+    return tree
+
+
 def restore_state(path: str, template: Any):
     """Returns (state, step, rng_state|None) or None if no checkpoint."""
     path = os.path.abspath(path)
@@ -71,8 +102,13 @@ def restore_state(path: str, template: Any):
     step = meta["step"]
     if _HAVE_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
-        state = ckptr.restore(os.path.join(path, f"step_{step}"),
-                              item=jax.device_get(template))
+        ckpt_dir = os.path.join(path, f"step_{step}")
+        try:
+            state = ckptr.restore(ckpt_dir, item=jax.device_get(template))
+        except Exception:
+            # structure mismatch — try the legacy-layout migration
+            raw = ckptr.restore(ckpt_dir)
+            state = _migrate_legacy(raw, jax.device_get(template))
     else:  # pragma: no cover
         with open(os.path.join(path, f"step_{step}.pkl"), "rb") as f:
             state = pickle.load(f)
