@@ -344,7 +344,8 @@ def run_reference_mtt(data, hp, buffer_dir, wandb_stub):
         lr_img=hp["lr_img"], lr_lr=hp["lr_lr"],
         lr_teacher=hp["lr_teacher"], train_lr=True,
         batch_real=64, batch_train=hp["batch_train"],
-        batch_syn=meta.num_classes * hp["ipc"], init="real",
+        batch_syn=meta.num_classes * hp["ipc"],
+        init=hp.get("init", "real"),
         data_path="", expert_epochs=hp["expert_epochs"],
         syn_steps=hp["syn_steps"],
         max_start_epoch=hp["max_start_epoch"], dis_metric="ours",
@@ -397,7 +398,8 @@ def run_rebuild_mtt(data, hp, buffers):
     test_rng = np.random.default_rng(hp["seed"] + 123)
     key = jax.random.PRNGKey(hp["seed"])
     syn, labels = init_synthetic_raw(key, data.train, hp["ipc"],
-                                     meta.frames, "real", rng)
+                                     meta.frames, hp.get("init", "real"),
+                                     rng)
     n_syn = syn.shape[0]
     step_fn = _build_mtt_step(
         "ConvNet3D", 3, meta.num_classes, tuple(meta.im_size),
@@ -454,6 +456,29 @@ def main():
                     help="MTT lr_img (the reference scripts tune this "
                          "per dataset; 100 diverges on the tiny fixture "
                          "— both sides — use ~10 for a training run)")
+    ap.add_argument("--mtt_init", default="real",
+                    choices=("real", "noise"),
+                    help="synthetic init for the MTT leg — noise starts "
+                         "both sides at chance so LEARNING is visible "
+                         "(real init saturates the separable fixture)")
+    ap.add_argument("--mtt_iters", type=int, default=None)
+    ap.add_argument("--mtt_eval_it", type=int, default=None)
+    ap.add_argument("--mtt_num_eval", type=int, default=None)
+    ap.add_argument("--mtt_epoch_eval", type=int, default=None)
+    ap.add_argument("--mtt_syn_steps", type=int, default=None)
+    ap.add_argument("--mtt_lr_lr", type=float, default=None)
+    ap.add_argument("--mtt_lr_teacher", type=float, default=None)
+    ap.add_argument("--mtt_experts", type=int, default=None)
+    ap.add_argument("--mtt_train_epochs", type=int, default=None)
+    ap.add_argument("--mtt_max_start", type=int, default=None)
+    ap.add_argument("--buffer_dir", default="/tmp/parity_buf",
+                    help="expert-buffer cache dir (reference-trained; "
+                         "reused if replay_buffer_0.pt exists)")
+    ap.add_argument("--side", default="both",
+                    choices=("both", "ref", "rebuild"),
+                    help="run only one MTT side (cheap reference-side "
+                         "LR probes before committing to a full "
+                         "head-to-head)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -508,17 +533,33 @@ def main():
                        lr_teacher=0.01, lr_img=args.mtt_lr_img,
                        lr_lr=1e-5, syn_steps=5, expert_epochs=1,
                        max_start_epoch=8, Iteration=150, eval_it=50)
-        buffer_dir = "/tmp/parity_buf"
+        mhp["init"] = args.mtt_init
+        for k, v in (("Iteration", args.mtt_iters),
+                     ("eval_it", args.mtt_eval_it),
+                     ("num_eval", args.mtt_num_eval),
+                     ("epoch_eval_train", args.mtt_epoch_eval),
+                     ("syn_steps", args.mtt_syn_steps),
+                     ("lr_lr", args.mtt_lr_lr),
+                     ("lr_teacher", args.mtt_lr_teacher),
+                     ("num_experts", args.mtt_experts),
+                     ("train_epochs", args.mtt_train_epochs),
+                     ("max_start_epoch", args.mtt_max_start)):
+            if v is not None:
+                mhp[k] = v
+        buffer_dir = args.buffer_dir
         os.makedirs(buffer_dir, exist_ok=True)
         if not os.path.exists(os.path.join(buffer_dir,
                                            "replay_buffer_0.pt")):
             print("=== reference buffer.py (shared experts) ===")
             run_reference_buffer(data, mhp, buffer_dir)
-        buffers = [convert_torch_buffer(data, buffer_dir)]
-        print("=== rebuild MTT (shared buffer) ===")
-        ours_mtt = run_rebuild_mtt(data, mhp, buffers)
-        print("=== reference MTT (torch CPU, shared buffer) ===")
-        ref_mtt = run_reference_mtt(data, mhp, buffer_dir, wandb_stub)
+        ours_mtt = ref_mtt = None
+        if args.side in ("both", "rebuild"):
+            buffers = [convert_torch_buffer(data, buffer_dir)]
+            print("=== rebuild MTT (shared buffer) ===")
+            ours_mtt = run_rebuild_mtt(data, mhp, buffers)
+        if args.side in ("both", "ref"):
+            print("=== reference MTT (torch CPU, shared buffer) ===")
+            ref_mtt = run_reference_mtt(data, mhp, buffer_dir, wandb_stub)
         report["mtt"] = {"hp": mhp, "reference": ref_mtt,
                          "rebuild": ours_mtt}
     with open(args.json, "w") as f:
@@ -546,7 +587,8 @@ def main():
                 lines.append(f"| {it} | {ra:.4f} +- {rs:.4f} | "
                              f"{oa:.4f} +- {os_:.4f} | "
                              f"{'yes' if overlap else 'NO'} |")
-        if "mtt" in report:
+        if "mtt" in report and report["mtt"]["reference"] is not None \
+                and report["mtt"]["rebuild"] is not None:
             m = report["mtt"]
             lines += ["", "# MTT head-to-head (shared expert buffer)",
                       "", f"hyperparameters: {m['hp']}", "",

@@ -323,12 +323,24 @@ def _s2d2_gemm(xv, w2, features: int):
     return y
 
 
+# Pack mover selection for the in-scan s2d2 pipeline: "pallas" routes
+# s2d2_pack through the one-pass Pallas mover primitive
+# (ops/pallas/s2d2_move.py — jvp/transpose-closed, so it serves all the
+# MTT autodiff passes); "xla" keeps the reshape/transpose chain.
+S2D_PACK_KERNEL = _os.environ.get("VD_PACK_KERNEL", "xla")
+
+
 def _s2d2_conv_pool(x, w2, features: int):
     """(B, F, H, W, C) x (7,7,3C,O) -> (B*F, H/4, W/4, 4, O): the four
     (2,2)-pool-phase outputs of the stride-2 7x7 temporal-im2col conv,
     as one stride-2 5x5 conv over a 2x2 space-to-depth view."""
     B, F, H, W, C = x.shape
-    xv = s2d2_pack(x).reshape(B * F, H // 2 + 4, W // 2 + 4, 12 * C)
+    if S2D_PACK_KERNEL == "pallas":
+        from ..ops.pallas.s2d2_move import pack as pallas_pack
+        xv = pallas_pack(x)
+    else:
+        xv = s2d2_pack(x)
+    xv = xv.reshape(B * F, H // 2 + 4, W // 2 + 4, 12 * C)
     return _s2d2_gemm(xv, w2, features)
 
 
@@ -373,7 +385,7 @@ def _phase_slices(y):
 
 
 @jax.custom_jvp
-def _phase_max(y):
+def _phase_max_xla(y):
     """Max over the 4 pool phases packed as contiguous channel blocks of
     (B', Ho, Wo, 4*O) — a pairwise max tree over CONTIGUOUS slices.
 
@@ -395,7 +407,7 @@ def _phase_max(y):
     return jnp.maximum(jnp.maximum(y0, y1), jnp.maximum(y2, y3))
 
 
-@_phase_max.defjvp
+@_phase_max_xla.defjvp
 def _phase_max_jvp(primals, tangents):
     (y,), (t,) = primals, tangents
     y0, y1, y2, y3 = _phase_slices(y)
@@ -405,6 +417,21 @@ def _phase_max_jvp(primals, tangents):
     t01 = jnp.where(y0 >= y1, t0, t1)
     t23 = jnp.where(y2 >= y3, t2, t3)
     return (jnp.maximum(m01, m23), jnp.where(m01 >= m23, t01, t23))
+
+
+# Phase-max kernel selection: "pallas" routes through the phase trio
+# (ops/pallas/phase_trio.py) — one fused max+winner-index pass whose
+# second-order AD reads a 1-byte index residual instead of recomputing
+# masks from the 4x-wide conv output; "xla" keeps the where-chain
+# custom-jvp above.
+S2D_PHASE_KERNEL = _os.environ.get("VD_PHASE_KERNEL", "xla")
+
+
+def _phase_max(y):
+    if S2D_PHASE_KERNEL == "pallas":
+        from ..ops.pallas.phase_trio import phase_max as pallas_phase_max
+        return pallas_phase_max(y)
+    return _phase_max_xla(y)
 
 
 class TorchDense(nn.Module):
