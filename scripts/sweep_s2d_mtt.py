@@ -28,6 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from video_distillation_tpu.parallel.mesh import ensure_platform_env
+
+ensure_platform_env()  # JAX_PLATFORMS=cpu works despite the axon pin
+
 
 def build_fixture(num_classes=10, frames=16, im=(112, 112),
                   clips_per_class=20, expert_epochs_total=20, n_experts=4,

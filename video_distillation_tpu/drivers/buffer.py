@@ -13,6 +13,9 @@ from .common import load_data
 
 
 def main(argv=None):
+    from ..parallel.mesh import ensure_platform_env
+
+    ensure_platform_env()  # honor JAX_PLATFORMS despite the axon config pin
     p = argparse.ArgumentParser(description="Expert buffer generation")
     for f in dataclasses.fields(BufferConfig):
         if isinstance(f.default, bool):

@@ -31,9 +31,12 @@ def parse_config_args(description: str, argv=None,
     "$@" through to argparse). Unknown flags are argparse errors, never
     silently dropped."""
     from ..parallel import init_distributed
+    from ..parallel.mesh import ensure_platform_env
 
-    # multi-host: extend the mesh over DCN before any other jax use —
-    # a silent no-op for single-host runs (see parallel/mesh.py)
+    # honor JAX_PLATFORMS even under the axon bootstrap's config pin
+    # (see parallel/mesh.py ensure_platform_env), then extend the mesh
+    # over DCN before any other jax use — both silent no-ops normally
+    ensure_platform_env()
     init_distributed()
 
     p = argparse.ArgumentParser(description=description)

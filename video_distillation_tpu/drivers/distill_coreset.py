@@ -17,6 +17,9 @@ from .common import load_data
 
 
 def main(argv=None):
+    from ..parallel.mesh import ensure_platform_env
+
+    ensure_platform_env()  # honor JAX_PLATFORMS despite the axon config pin
     p = argparse.ArgumentParser(description="Coreset baselines")
     p.add_argument("--dataset", default="miniUCF101")
     p.add_argument("--method", default="k-center",

@@ -40,6 +40,9 @@ def to_single_frame_store(store: ClipStore,
 
 
 def main(argv=None):
+    from ..parallel.mesh import ensure_platform_env
+
+    ensure_platform_env()  # honor JAX_PLATFORMS despite the axon config pin
     p = argparse.ArgumentParser(description="DC static-memory learning")
     p.add_argument("--dataset", default="miniUCF101")
     p.add_argument("--model", default="ConvNet")

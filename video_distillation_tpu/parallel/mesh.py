@@ -26,6 +26,26 @@ _DISTRIBUTED = False
 DATA_AXIS = "data"
 
 
+def ensure_platform_env() -> None:
+    """Make the ``JAX_PLATFORMS`` env var effective for driver processes.
+
+    The axon terminal bootstrap (a sitecustomize that registers the
+    tunneled-TPU PJRT plugin at interpreter startup) pins
+    ``jax.config.jax_platforms = "axon,cpu"`` — overriding the env var,
+    so ``JAX_PLATFORMS=cpu python -m ...drivers...`` would still dial
+    the tunnel on the first jax op (and block for minutes when it is
+    down). Re-asserting the env value into the config before any
+    backend use restores standard JAX semantics. No-op when the env
+    var is unset or already in effect; must run before the first
+    ``jax.devices()``/op of the process.
+    """
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if env and jax.config.jax_platforms != env:
+        jax.config.update("jax_platforms", env)
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> bool:
