@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os as _os
 from typing import Optional, Tuple
 
 import jax
@@ -151,8 +152,11 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
     # syn_steps=10) the bf16 HVP produces inf/nan on the FIRST outer
     # step regardless of cotangent scaling, while fp32 is clean
     # (measured on a v5e; fwd + first-order grads stay bf16 — they are
-    # the validated round-2 configuration).
-    ce_hvp = ce_in(jnp.float32)
+    # the validated round-2 configuration). VD_HVP_DTYPE=bfloat16 is the
+    # overflow-bisection escape hatch (scripts/bisect_bf16_hvp.py).
+    _hvp_dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        _os.environ.get("VD_HVP_DTYPE", "float32")]
+    ce_hvp = ce_in(_hvp_dt if compute_dtype == "bfloat16" else jnp.float32)
 
     def _float0(a):
         return np.zeros(a.shape, jax.dtypes.float0)
