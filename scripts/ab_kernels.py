@@ -24,6 +24,9 @@ COMBOS = [
     ("phase", {"VD_PHASE_KERNEL": "pallas"}),
     ("pack+phase", {"VD_PACK_KERNEL": "pallas",
                     "VD_PHASE_KERNEL": "pallas"}),
+    ("wide_s2d", {"VD_WIDE_CONV": "s2d"}),
+    ("all", {"VD_PACK_KERNEL": "pallas", "VD_PHASE_KERNEL": "pallas",
+             "VD_WIDE_CONV": "s2d"}),
 ]
 
 CHILD = r"""

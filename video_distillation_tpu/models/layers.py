@@ -70,6 +70,43 @@ import os as _os
 
 S2D_POOL_MODE = _os.environ.get("VD_S2D_POOL_MODE", "s2d2")
 
+# Wide-layer (conv2/conv3) stride-2 conv formulation. "direct" = the
+# plain stride-2 7x7 conv; "s2d" = stride-1 4x4 conv over a 2x2
+# space-to-depth view (see TemporalIm2ColConv) — the conv2-at-48-TF/s
+# A/B (full-graph traces only; toggle via env for ab_kernels.py).
+WIDE_CONV_MODE = _os.environ.get("VD_WIDE_CONV", "direct")
+
+# tap map for the wide-layer s2d: cell offset d in [0,4), parity p in
+# {0,1} -> original tap u = 2d + p, or 7 (zero slot) when u > 6
+_UW = np.full((4, 2), 7, np.int32)
+for _d in range(4):
+    for _p in range(2):
+        if 2 * _d + _p <= 6:
+            _UW[_d, _p] = 2 * _d + _p
+
+
+def _s2d_wide_pack(xf):
+    """(BF, H, W, C) -> (BF, Hc, Wc, 4C) 2x2 space-to-depth of the
+    pad-3 input (odd H/W pad one extra row/col that no valid tap
+    reads); cell channel order (py, px, c)."""
+    BF, H, W, C = xf.shape
+    xp = jnp.pad(xf, ((0, 0), (3, 3 + H % 2), (3, 3 + W % 2), (0, 0)))
+    Hc, Wc = (H + 6 + H % 2) // 2, (W + 6 + W % 2) // 2
+    return xp.reshape(BF, Hc, 2, Wc, 2, C).transpose(
+        0, 1, 3, 2, 4, 5).reshape(BF, Hc, Wc, 4 * C)
+
+
+def _s2d_wide_kernel(w, dtype):
+    """(7, 7, C, O) stride-2 kernel -> (4, 4, 4C, O) stride-1 kernel on
+    the s2d view: W4[dy, dx, (py, px, c), o] = w[2dy+py, 2dx+px, c, o]
+    (zero beyond tap 6)."""
+    w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    wg = w8[_UW[:, :, None, None],
+            _UW[None, None, :, :]]  # (dy, py, dx, px, C, O)
+    C, O = w.shape[2], w.shape[3]
+    return wg.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * C,
+                                                  O).astype(dtype)
+
 
 class TorchConv(nn.Module):
     """nn.Conv with torch-default init (weight AND bias from fan_in bound)."""
@@ -187,14 +224,31 @@ class TemporalIm2ColConv(nn.Module):
             # backward) — the temporal mixing becomes cheap shifted adds
             # on the (4x smaller) conv outputs.
             xf = x.reshape(B * F, H, W, C)
-            cs = []
-            for dt in range(3):
-                ci = jax.lax.conv_general_dilated(
-                    xf, kernel[dt].astype(xf.dtype), window_strides=(2, 2),
-                    padding=((3, 3), (3, 3)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                cs.append(ci.reshape(B, F, ci.shape[1], ci.shape[2],
-                                     self.features))
+            if WIDE_CONV_MODE == "s2d":
+                # conv2-at-48-TF/s hypothesis (ROADMAP item 2): express
+                # the stride-2 7x7 conv as a stride-1 4x4 conv over a
+                # 2x2 space-to-depth view (1.31x tap inflation via one
+                # zero parity-slot per axis, vs conv1's 2.05x) — the
+                # packed input is shared by all three temporal taps.
+                xv = _s2d_wide_pack(xf)
+                cs = []
+                for dt in range(3):
+                    w4 = _s2d_wide_kernel(kernel[dt], xf.dtype)
+                    ci = jax.lax.conv_general_dilated(
+                        xv, w4, window_strides=(1, 1), padding="VALID",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    cs.append(ci.reshape(B, F, ci.shape[1], ci.shape[2],
+                                         self.features))
+            else:
+                cs = []
+                for dt in range(3):
+                    ci = jax.lax.conv_general_dilated(
+                        xf, kernel[dt].astype(xf.dtype),
+                        window_strides=(2, 2),
+                        padding=((3, 3), (3, 3)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    cs.append(ci.reshape(B, F, ci.shape[1], ci.shape[2],
+                                         self.features))
             # y_t = w0*x_{t-1} + w1*x_t + w2*x_{t+1} (zero beyond ends)
             zpad = ((0, 0), (0, 0), (0, 0), (0, 0), (0, 0))
             y = (cs[1]
