@@ -244,11 +244,35 @@ def run_rebuild_dm(data, hp):
 # MTT head-to-head: shared expert buffer, reference driver vs rebuild
 # ---------------------------------------------------------------------------
 
-def run_reference_buffer(data, hp, buffer_dir):
-    """Train experts with the reference's own buffer.py on the fixture."""
+def load_reference_buffer_module():
+    """Import the reference's buffer.py with ONE environment fix: its
+    trajectory snapshots are ``p.detach().cpu()`` (buffer.py:75,89) —
+    a real copy on the CUDA device it was written for, but a NO-OP
+    ALIAS on a CPU run, which saves N+1 identical copies of the FINAL
+    params (param_dist==0 -> grand_loss=inf for every segment).  We
+    append ``.clone()`` to restore the intended copy-on-snapshot
+    semantics; everything else runs unmodified."""
+    import importlib.util
+
+    src_path = os.path.join(REF, "buffer.py")
+    with open(src_path) as f:
+        src = f.read()
+    patched = src.replace("p.detach().cpu() for p in",
+                          "p.detach().cpu().clone() for p in")
+    assert patched != src, "buffer.py snapshot lines not found"
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    import buffer as ref_buffer  # noqa (from /root/reference)
+    spec = importlib.util.spec_from_loader("ref_buffer_cpufix", loader=None,
+                                           origin=src_path)
+    mod = importlib.util.module_from_spec(spec)
+    mod.__file__ = src_path
+    exec(compile(patched, src_path, "exec"), mod.__dict__)
+    return mod
+
+
+def run_reference_buffer(data, hp, buffer_dir):
+    """Train experts with the reference's own buffer.py on the fixture."""
+    ref_buffer = load_reference_buffer_module()
 
     dst_train, dst_test = build_torch_datasets(data)
     import torch
@@ -370,16 +394,20 @@ def run_reference_mtt(data, hp, buffer_dir, wandb_stub):
         ref_driver.get_dataset = orig
         undo_eval()
 
-    accs, stds, gloss = {}, {}, {}
+    accs, stds, gloss, synlr = {}, {}, [], {}
     for step, scalars in wandb_stub._logged:
         if "Accuracy/ConvNet3D" in scalars:
             accs[step] = float(scalars["Accuracy/ConvNet3D"])
         if "Std/ConvNet3D" in scalars:
             stds[step] = float(scalars["Std/ConvNet3D"])
         if "Grand_Loss" in scalars:
-            gloss[step] = float(scalars["Grand_Loss"])
+            # the reference logs Grand_Loss with no step= (collapses in
+            # wandb too); keep the whole trajectory as a list
+            gloss.append(float(scalars["Grand_Loss"]))
+        if "Synthetic_LR" in scalars:
+            synlr[step] = float(scalars["Synthetic_LR"])
     return {"acc": accs, "std": stds, "grand_loss": gloss,
-            "wall_sec": wall}
+            "syn_lr": synlr, "wall_sec": wall}
 
 
 def run_rebuild_mtt(data, hp, buffers):
@@ -471,6 +499,10 @@ def main():
     ap.add_argument("--mtt_experts", type=int, default=None)
     ap.add_argument("--mtt_train_epochs", type=int, default=None)
     ap.add_argument("--mtt_max_start", type=int, default=None)
+    ap.add_argument("--mtt_lr_teacher_buf", type=float, default=None,
+                    help="expert-training LR (buffer.py lr_teacher)")
+    ap.add_argument("--mtt_batch_train_buf", type=int, default=None)
+    ap.add_argument("--mtt_expert_epochs", type=int, default=None)
     ap.add_argument("--buffer_dir", default="/tmp/parity_buf",
                     help="expert-buffer cache dir (reference-trained; "
                          "reused if replay_buffer_0.pt exists)")
@@ -479,6 +511,16 @@ def main():
                     help="run only one MTT side (cheap reference-side "
                          "LR probes before committing to a full "
                          "head-to-head)")
+    ap.add_argument("--sep", type=float, default=None,
+                    help="fixture class_sep override (lower = harder; "
+                         "pairs with a fresh --buffer_dir)")
+    ap.add_argument("--noise", type=float, default=None,
+                    help="fixture per-pixel noise override (higher = "
+                         "harder)")
+    ap.add_argument("--clips", type=int, default=None,
+                    help="fixture clips_per_class override")
+    ap.add_argument("--fixture_name", default=None,
+                    help="registry name for a custom-hardness fixture")
     args = ap.parse_args()
 
     if args.cpu:
@@ -504,10 +546,17 @@ def main():
                   batch_train=64, seed=0)
         # class_sep/noise tuned so accuracies sit mid-range: saturated
         # 1.0 bands on both sides would compare nothing
-        data = make_synthetic_video_data(num_classes=4, clips_per_class=25,
+        sep = 0.22 if args.sep is None else args.sep
+        noi = 45.0 if args.noise is None else args.noise
+        cpc = 25 if args.clips is None else args.clips
+        nm = args.fixture_name or (
+            "parity4" if (args.sep is None and args.noise is None
+                          and args.clips is None)
+            else f"parity4_s{sep}_n{noi}_c{cpc}")
+        data = make_synthetic_video_data(num_classes=4, clips_per_class=cpc,
                                          test_per_class=5, frames=8,
-                                         im_size=(64, 64), class_sep=0.22,
-                                         noise=45.0, name="parity4")
+                                         im_size=(64, 64), class_sep=sep,
+                                         noise=noi, name=nm)
 
     import torch
     torch.set_num_threads(os.cpu_count() or 8)
@@ -543,7 +592,10 @@ def main():
                      ("lr_teacher", args.mtt_lr_teacher),
                      ("num_experts", args.mtt_experts),
                      ("train_epochs", args.mtt_train_epochs),
-                     ("max_start_epoch", args.mtt_max_start)):
+                     ("max_start_epoch", args.mtt_max_start),
+                     ("lr_teacher_buf", args.mtt_lr_teacher_buf),
+                     ("batch_train_buf", args.mtt_batch_train_buf),
+                     ("expert_epochs", args.mtt_expert_epochs)):
             if v is not None:
                 mhp[k] = v
         buffer_dir = args.buffer_dir
@@ -602,7 +654,10 @@ def main():
                 if ra is None:
                     continue
                 overlap = abs(ra - oa) <= (rs + os_ + 1e-9)
-                rg = rm["grand_loss"].get(it)
+                rgl = rm["grand_loss"]
+                rg = (rgl[min(it, len(rgl) - 1)]
+                      if isinstance(rgl, list) and rgl else
+                      rgl.get(it) if isinstance(rgl, dict) else None)
                 og = om["grand_loss"].get(it)
                 rg_s = f"{rg:.4f}" if rg is not None else "-"
                 og_s = f"{og:.4f}" if og is not None else "-"
