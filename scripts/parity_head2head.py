@@ -19,6 +19,7 @@ Usage: python scripts/parity_head2head.py [--quick] [--out PARITY_RUNS.md]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -444,9 +445,12 @@ def run_rebuild_mtt(data, hp, buffers):
     t0 = time.time()
     for it in range(hp["Iteration"] + 1):
         if it % hp["eval_it"] == 0:
+            # reference semantics: eval nets train at the CURRENT learned
+            # syn_lr (distill_baseline.py:157 args.lr_net = syn_lr)
+            ecfg_it = dataclasses.replace(ecfg, lr_net=float(syn_lr))
             _, mean, std = evaluate_many(
                 jax.random.fold_in(key, 20_000_000 + it), hp["num_eval"],
-                syn, np.asarray(labels), data, ecfg, test_rng)
+                syn, np.asarray(labels), data, ecfg_it, test_rng)
             accs[it], stds[it] = mean, std
             print(f"[rebuild-mtt] it={it} acc={mean:.4f}+-{std:.4f}")
         if it == hp["Iteration"]:
