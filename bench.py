@@ -205,10 +205,12 @@ def bench_eval(num_classes=50, frames=16, im=(112, 112), ipc=1,
     key = jax.random.PRNGKey(1)
     # warmup (compile + one full scan), then time one scan; fetching the
     # scalar loss is the honest sync on the axon relay
-    _, _, loss = train_fn(key, syn, labels)
+    _, _, loss = train_fn(key, syn, labels,
+                          jnp.asarray(cfg.lr_net, jnp.float32))
     float(loss)
     t0 = time.perf_counter()
-    _, _, loss = train_fn(jax.random.fold_in(key, 1), syn, labels)
+    _, _, loss = train_fn(jax.random.fold_in(key, 1), syn, labels,
+                          jnp.asarray(cfg.lr_net, jnp.float32))
     float(loss)
     dt = time.perf_counter() - t0
     return (epochs + 1) / dt  # training epochs/sec

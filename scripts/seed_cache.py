@@ -99,7 +99,8 @@ def seed_eval_train():
     train_fn, _ = _build_train_fn("ConvNet3D", 3, NC, IM, FR, 8, cfg, None)
     syn = jnp.zeros((8, FR) + IM + (3,))
     labels = np.repeat(np.arange(NC), 2).astype(np.int32)
-    out = train_fn(jax.random.PRNGKey(0), syn, labels)
+    out = train_fn(jax.random.PRNGKey(0), syn, labels,
+                   jnp.asarray(cfg.lr_net, jnp.float32))
     jax.block_until_ready(out)
 
 

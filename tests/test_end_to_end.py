@@ -79,8 +79,16 @@ def test_expert_training_and_buffer_roundtrip(tiny_data, tmp_path):
     buf = TrajectoryBuffer.load(paths[0])
     assert buf.trajectories.shape[0] == 2  # experts
     assert buf.trajectories.shape[1] == 4  # init + 3 epochs
-    # trajectory moves
-    assert not np.allclose(buf.trajectories[0, 0], buf.trajectories[0, -1])
+    # EVERY adjacent snapshot pair moves: param_dist == 0 for any MTT
+    # segment divides grand_loss by zero. The reference's buffer.py:75,89
+    # has exactly this bug on CPU (p.detach().cpu() is a no-op alias, so
+    # all saved snapshots are the final params — found r4); guard our
+    # dense-trajectory path against the class.
+    for e in range(buf.trajectories.shape[0]):
+        for s in range(buf.trajectories.shape[1] - 1):
+            dist = float(np.sum((buf.trajectories[e, s + 1]
+                                 - buf.trajectories[e, s]) ** 2))
+            assert dist > 0.0, f"expert {e} segment {s} did not move"
 
 
 def test_expert_sampler_cycles():

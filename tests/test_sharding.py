@@ -165,6 +165,8 @@ def test_sharded_eval_train_scan_matches_single_device():
     (evaluate.py _build_train_fn); with a mesh-divisible batch the
     numerics equal the 1-device run exactly (same RNG, same graph —
     only the sharding constraint differs)."""
+    import jax.numpy as jnp
+
     from video_distillation_tpu.distill.evaluate import (EvalConfig,
                                                          _build_train_fn)
     from video_distillation_tpu.parallel import make_mesh
@@ -181,8 +183,9 @@ def test_sharded_eval_train_scan_matches_single_device():
         train_fn, _ = _build_train_fn("ConvNet3D", 3, num_classes, im,
                                       frames, n_syn, cfg, None,
                                       mesh=make_mesh(n_dev))
-        params, acc_train, loss = train_fn(key, syn,
-                                           np.asarray(labels, np.int32))
+        params, acc_train, loss = train_fn(
+            key, syn, np.asarray(labels, np.int32),
+            jnp.asarray(cfg.lr_net, jnp.float32))
         outs[n_dev] = (np.asarray(loss), float(acc_train))
     np.testing.assert_allclose(outs[1][0], outs[8][0], rtol=2e-5)
     assert outs[1][1] == outs[8][1]

@@ -155,13 +155,19 @@ def _build_train_fn(model_name: str, channel: int, num_classes: int,
                     mesh=None):
     """lru_cache wrapper: the CURRENT mesh must be part of the cache key —
     caching on mesh=None would silently reuse a compiled fn whose sharding
-    constraint is bound to a stale global mesh after set_mesh()."""
+    constraint is bound to a stale global mesh after set_mesh().
+
+    ``cfg.lr_net`` is normalised OUT of the cache key: the returned
+    ``run`` takes the base LR as a traced argument, so evaluating at the
+    current learned syn_lr (distill_baseline.py:157) does NOT recompile
+    per distinct value (30-400 s per eval point through the TPU relay)."""
     if mesh is None:
         from ..parallel import get_mesh
         mesh = get_mesh()
     return _build_train_fn_cached(model_name, channel, num_classes,
-                                  im_size, frames, n_syn, cfg, s2d_key,
-                                  mesh)
+                                  im_size, frames, n_syn,
+                                  dataclasses.replace(cfg, lr_net=0.0),
+                                  s2d_key, mesh)
 
 
 @functools.lru_cache(maxsize=32)
@@ -185,7 +191,7 @@ def _build_train_fn_cached(model_name: str, channel: int, num_classes: int,
     if s2d_key is not None:
         s2d_cfg = S2DConfig(**dict(s2d_key))
 
-    def run(key, syn_images_or_state, syn_labels):
+    def run(key, syn_images_or_state, syn_labels, lr_base):
         k_init, k_perm, k_drop, k_slots = jax.random.split(key, 4)
         if cfg.mode == "multi-static":
             state = syn_images_or_state
@@ -235,14 +241,14 @@ def _build_train_fn_cached(model_name: str, channel: int, num_classes: int,
                                epoch_of_step / warm_iters)
             cos = 0.01 + 0.5 * (1 - 0.01) * (
                 1 + jnp.cos(jnp.pi * epoch_of_step / epochs))
-            lr_steps = cfg.lr_net * warm * cos
+            lr_steps = lr_base * warm * cos
             reset_steps = jnp.zeros(steps, bool)
         else:
             # the reference trains epoch Epoch//2+1 at full lr and only
             # recreates the optimizer AFTER it (utils.py:848,871-874), so
             # the first reduced-lr epoch is drop_epoch+1
             lr_steps = jnp.where(epoch_of_step > drop_epoch,
-                                 cfg.lr_net * 0.1, cfg.lr_net)
+                                 lr_base * 0.1, lr_base)
             reset_steps = (epoch_of_step == drop_epoch + 1) & \
                           (jnp.arange(steps) % nb == 0)
 
@@ -443,7 +449,8 @@ def evaluate_synset(key, syn_images, syn_labels, data: VideoData,
     train_fn, _ = _build_train_fn(
         cfg.model, meta.channel, meta.num_classes, tuple(meta.im_size),
         meta.frames, n_syn, cfg, s2d_key)
-    params, acc_train, _ = train_fn(key, syn_arg, labels_arg)
+    params, acc_train, _ = train_fn(key, syn_arg, labels_arg,
+                                    jnp.asarray(cfg.lr_net, jnp.float32))
 
     test_fn, _ = _build_test_fn(cfg.model, meta.channel, meta.num_classes,
                                 tuple(meta.im_size), meta.frames,
@@ -522,7 +529,8 @@ def _evaluate_many_vmapped(base_key, num_eval, syn_images, syn_labels,
         meta.frames, n_syn, cfg, s2d_key)
     keys = jax.random.split(base_key, num_eval)
     params, acc_train, _ = jax.vmap(
-        train_fn, in_axes=(0, None, None))(keys, syn_arg, labels_arg)
+        train_fn, in_axes=(0, None, None, None))(
+        keys, syn_arg, labels_arg, jnp.asarray(cfg.lr_net, jnp.float32))
 
     test_fn, _ = _build_test_fn(cfg.model, meta.channel, meta.num_classes,
                                 tuple(meta.im_size), meta.frames,
