@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.flatten_util import ravel_pytree
 
+from ..models import layers as _layers
 from ..models.convnet3d import ConvNet3D
 from ..models.layers import s2d2_pack
 from ..models.registry import create_model
@@ -132,21 +133,39 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
         model_def = model_def.clone(packed_input=True)
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
-    def ce_in(dt):
+    # Conv lowering for the MTT unroll: on CPU, XLA emits the in-scan
+    # weight-gradients of the stride-2 convs (first- and second-order)
+    # as rhs-dilated convolutions with no fast path (~170 s/outer step
+    # at the 4-class 64^2 test shapes, ~35x slower than the torch
+    # reference); the im2col-GEMM lowering (layers._conv2d) keeps every
+    # derivative a slice/pad/dot and runs the same step in ~30 s. TPU
+    # keeps native convs. VD_MTT_CONV ∈ {auto, native, gemm, gemmsum}.
+    _hvp_conv = _os.environ.get("VD_MTT_CONV", "auto")
+    if _hvp_conv == "auto":
+        _hvp_conv = "gemm" if jax.default_backend() == "cpu" else "native"
+
+    def ce_in(dt, conv=None):
         def ce(th, x, y, w, step_i, drop_key):
             # mixed precision: bf16 conv compute, fp32 master θ —
             # casting only x would promote convs back to fp32
             p = jax.tree.map(lambda a: a.astype(dt), unravel(th))
-            logits = model_def.apply(
-                {"params": p}, x.astype(dt), train=True,
-                rngs={"dropout": jax.random.fold_in(drop_key, step_i)})
+            with _layers.conv_impl(conv or _layers.CONV_IMPL):
+                logits = model_def.apply(
+                    {"params": p}, x.astype(dt), train=True,
+                    rngs={"dropout": jax.random.fold_in(drop_key, step_i)})
             logits = logits.astype(jnp.float32)
             logp = jax.nn.log_softmax(logits, axis=-1)
             pick = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
             return jnp.sum(pick * w) / jnp.maximum(jnp.sum(w), 1.0)
         return ce
 
-    ce = ce_in(cdt)
+    # The whole unroll gets the lowering, not just the HVP: the
+    # FIRST-order wgrads are only fast on CPU when XLA can rewrite them
+    # outside a loop body — embedded in the scan they hit the same
+    # dilated-conv scalar loop (measured: the in-scan "native" ce_grad
+    # costs ~20 s/step at test shapes while an isolated jax.grad of the
+    # same ce runs 0.42 s).
+    ce = ce_in(cdt, conv=_hvp_conv)
     # The reverse-over-forward second-order pass runs in fp32 even under
     # compute_dtype=bfloat16: at flagship shapes (112^2 x 16,
     # syn_steps=10) the bf16 HVP produces inf/nan on the FIRST outer
@@ -156,7 +175,8 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
     # overflow-bisection escape hatch (scripts/bisect_bf16_hvp.py).
     _hvp_dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         _os.environ.get("VD_HVP_DTYPE", "float32")]
-    ce_hvp = ce_in(_hvp_dt if compute_dtype == "bfloat16" else jnp.float32)
+    ce_hvp = ce_in(_hvp_dt if compute_dtype == "bfloat16" else jnp.float32,
+                   conv=_hvp_conv)
 
     def _float0(a):
         return np.zeros(a.shape, jax.dtypes.float0)

@@ -70,6 +70,90 @@ import os as _os
 
 S2D_POOL_MODE = _os.environ.get("VD_S2D_POOL_MODE", "s2d2")
 
+# Conv lowering for the hot 2-D convs: "native" = lax.conv_general_dilated,
+# "gemm" = strided-slice im2col + dot_general, "auto" (default) = gemm on
+# CPU / native elsewhere. Rationale (measured, r4): XLA-CPU emits the
+# SECOND-order (transpose-of-jvp) weight-gradients of stride-2 convs as
+# rhs-dilated convolutions with no fast path — a single conv1 wgrad ran
+# 20 s at 4-class 64^2 MTT-test shapes, making one second-order step
+# ~170 s (~35x slower than the torch reference's CPU unroll). With the
+# gemm lowering every derivative stays slices/pads/dot_general and the
+# same step is CPU-viable; TPU keeps the native convs (MXU emitters).
+CONV_IMPL = _os.environ.get("VD_CONV_IMPL", "auto")
+
+# Trace-time override: mtt.py wraps the SECOND-order (HVP) model apply
+# in conv_impl("gemm") on CPU, scoping the gemm lowering to the region
+# with the pathology while first-order paths (evals, buffer training,
+# DM embeds) keep the fast native convs.
+_CONV_OVERRIDE: list = []
+
+
+class conv_impl:
+    """Context manager: force a conv lowering while tracing a region."""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    def __enter__(self):
+        _CONV_OVERRIDE.append(self.mode)
+
+    def __exit__(self, *exc):
+        _CONV_OVERRIDE.pop()
+
+
+def _conv_mode() -> str:
+    if _CONV_OVERRIDE:
+        return _CONV_OVERRIDE[-1]
+    return CONV_IMPL
+
+
+def _use_gemm_conv() -> bool:
+    mode = _conv_mode()
+    # "auto" = native: the gemm lowering only enters through an explicit
+    # env or the second-order conv_impl override (mtt.py)
+    return mode in ("gemm", "gemmsum")
+
+
+def _conv2d(x, w, window_strides, padding):
+    """NHWC x HWIO -> NHWC conv with a backend-appropriate lowering."""
+    if not _use_gemm_conv():
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=window_strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    kh, kw, C, O = w.shape
+    sh, sw = window_strides
+    if padding != "VALID":
+        x = jnp.pad(x, ((0, 0), tuple(padding[0]), tuple(padding[1]),
+                        (0, 0)))
+    N, H, W, _ = x.shape
+    Ho = (H - kh) // sh + 1
+    Wo = (W - kw) // sw + 1
+    if _conv_mode() == "gemmsum":
+        # sum of per-tap dots: no concat, so the x-cotangent is kh*kw
+        # fused pad+adds instead of a concat-split
+        y = None
+        for u in range(kh):
+            for v in range(kw):
+                s = jax.lax.slice(
+                    x, (0, u, v, 0),
+                    (N, u + (Ho - 1) * sh + 1, v + (Wo - 1) * sw + 1, C),
+                    (1, sh, sw, 1))
+                t = jax.lax.dot_general(
+                    s, w[u, v], dimension_numbers=(((3,), (0,)), ((), ())))
+                y = t if y is None else y + t
+        return y
+    cols = []
+    for u in range(kh):
+        for v in range(kw):
+            cols.append(jax.lax.slice(
+                x, (0, u, v, 0),
+                (N, u + (Ho - 1) * sh + 1, v + (Wo - 1) * sw + 1, C),
+                (1, sh, sw, 1)))
+    patches = jnp.concatenate(cols, axis=-1)  # (N, Ho, Wo, kh*kw*C)
+    return jax.lax.dot_general(
+        patches, w.reshape(kh * kw * C, O),
+        dimension_numbers=(((3,), (0,)), ((), ())))
+
 # Wide-layer (conv2/conv3) stride-2 conv formulation. "direct" = the
 # plain stride-2 7x7 conv; "s2d" = stride-1 4x4 conv over a 2x2
 # space-to-depth view (see TemporalIm2ColConv) — the conv2-at-48-TF/s
@@ -234,19 +318,14 @@ class TemporalIm2ColConv(nn.Module):
                 cs = []
                 for dt in range(3):
                     w4 = _s2d_wide_kernel(kernel[dt], xf.dtype)
-                    ci = jax.lax.conv_general_dilated(
-                        xv, w4, window_strides=(1, 1), padding="VALID",
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    ci = _conv2d(xv, w4, (1, 1), "VALID")
                     cs.append(ci.reshape(B, F, ci.shape[1], ci.shape[2],
                                          self.features))
             else:
                 cs = []
                 for dt in range(3):
-                    ci = jax.lax.conv_general_dilated(
-                        xf, kernel[dt].astype(xf.dtype),
-                        window_strides=(2, 2),
-                        padding=((3, 3), (3, 3)),
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    ci = _conv2d(xf, kernel[dt].astype(xf.dtype), (2, 2),
+                                 ((3, 3), (3, 3)))
                     cs.append(ci.reshape(B, F, ci.shape[1], ci.shape[2],
                                          self.features))
             # y_t = w0*x_{t-1} + w1*x_t + w2*x_{t+1} (zero beyond ends)
@@ -262,10 +341,7 @@ class TemporalIm2ColConv(nn.Module):
         xs = jnp.concatenate(
             [xp[:, 0:F], xp[:, 1:F + 1], xp[:, 2:F + 2]], axis=-1)
         xf = xs.reshape(B * F, H, W, 3 * C)
-        y = jax.lax.conv_general_dilated(
-            xf, w2.astype(xf.dtype), window_strides=(2, 2),
-            padding=((3, 3), (3, 3)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = _conv2d(xf, w2.astype(xf.dtype), (2, 2), ((3, 3), (3, 3)))
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y.reshape(B, F, y.shape[1], y.shape[2], self.features)
@@ -310,9 +386,7 @@ def _s2d4_conv_pool(x, w2, features: int):
     Hc, Wc = H // 4 + 2, W // 4 + 2
     xv = xpad.reshape(B * F, Hc, 4, Wc, 4, Ck).transpose(
         0, 1, 3, 2, 4, 5).reshape(B * F, Hc, Wc, 16 * Ck)
-    y = jax.lax.conv_general_dilated(
-        xv, Ws.astype(xv.dtype), window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = _conv2d(xv, Ws.astype(xv.dtype), (1, 1), "VALID")
     return y  # (B*F, H//4, W//4, 4*O), phases as channel blocks
 
 
@@ -368,9 +442,7 @@ def _s2d2_gemm(xv, w2, features: int):
     Wg = w2p[_U2[:, :, :, None, None, None],
              _U2[None, None, None, :, :, :]]
     Ws = Wg.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(5, 5, 4 * Ck, 4 * O)
-    y = jax.lax.conv_general_dilated(
-        xv, Ws.astype(xv.dtype), window_strides=(2, 2), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = _conv2d(xv, Ws.astype(xv.dtype), (2, 2), "VALID")
     # output spatial = ((Hc-5)//2+1, (Wc-5)//2+1) = (H//4, W//4); the 4
     # phases stay packed flat as contiguous channel blocks (a*O + o) —
     # _phase_max consumes this layout directly
@@ -423,10 +495,7 @@ def _direct10_conv_pool(x, w2, features: int):
         [jnp.pad(w2, ((2 * a, 3 - 2 * a), (2 * b, 3 - 2 * b),
                       (0, 0), (0, 0)))
          for a in (0, 1) for b in (0, 1)], axis=-1)  # (10,10,Ck,4O)
-    y = jax.lax.conv_general_dilated(
-        xf, w10.astype(xf.dtype), window_strides=(4, 4),
-        padding=((3, 5), (3, 5)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = _conv2d(xf, w10.astype(xf.dtype), (4, 4), ((3, 5), (3, 5)))
     # (B*F, H//4, W//4, 4*O) — phases as contiguous channel blocks in
     # (a, b) row-major order, the layout _phase_max consumes
     return y
