@@ -32,7 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+
 from ..data.store import VideoData
+from ..models import layers as _layers
 from ..models.registry import create_model, is_video_model
 from ..ops.metrics import per_class_correct
 from .s2d import S2DConfig, hallucinate
@@ -252,9 +255,19 @@ def _build_train_fn_cached(model_name: str, channel: int, num_classes: int,
             reset_steps = (epoch_of_step == drop_epoch + 1) & \
                           (jnp.arange(steps) % nb == 0)
 
+        # In-scan conv lowering: XLA-CPU scalar-loops the in-loop-body
+        # weight-gradients of stride-2 convs (see layers._conv2d and the
+        # mtt.py note); the eval training scan pays the same pathology.
+        # gemm on CPU, native on TPU; VD_EVAL_CONV overrides.
+        eval_conv = _os.environ.get("VD_EVAL_CONV", "auto")
+        if eval_conv == "auto":
+            eval_conv = ("gemm" if jax.default_backend() == "cpu"
+                         else _layers.CONV_IMPL)
+
         def loss_fn(p, x, y, w, dropout_key):
-            logits = model_def.apply({"params": p}, x, train=True,
-                                     rngs={"dropout": dropout_key})
+            with _layers.conv_impl(eval_conv):
+                logits = model_def.apply({"params": p}, x, train=True,
+                                         rngs={"dropout": dropout_key})
             if cfg.loss == "mse":
                 # soft labels y: (B, C); torch MSELoss mean over elements
                 per = jnp.mean((logits - y) ** 2, axis=-1)
