@@ -97,7 +97,7 @@ def run_one(hvp_dtype: str, locate: bool, steps: int, small: bool):
         dyn_ok = bool(jnp.isfinite(state["dynamic"]).all())
         lr_ok = bool(jnp.isfinite(syn_lr))
         times.append(time.time() - t0)
-        finite.append(dyn_ok and lr_ok and np.isfinite(loss))
+        finite.append(bool(dyn_ok and lr_ok and np.isfinite(loss)))
         print(f"[{hvp_dtype}] it={it} loss={loss:.5f} "
               f"dyn_finite={dyn_ok} lr_finite={lr_ok} "
               f"wall={times[-1]:.2f}s", flush=True)
