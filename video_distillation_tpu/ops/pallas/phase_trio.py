@@ -12,7 +12,7 @@ of "loop fusions" in the r3 v5e profile.
 Here the trio restructures the AD around a 1-byte residual:
 
 * ``phase_argmax``: one pass producing the max AND the winning phase
-  index (int8, values 0..3) — torch-MaxPool2d tie order (first maximal
+  index (data dtype, exact values 0..3) — torch-MaxPool2d tie order (first maximal
   in 2x2 window scan order), identical to layers._phase_max.
 * ``phase_select(t, idx)``: the linearization — pick the winner's
   tangent. Reads t (4*O) + idx (1 byte/element) instead of t + y.
@@ -46,11 +46,19 @@ def _slices(y, O):
 
 
 def _argmax_kernel(y_ref, m_ref, i_ref, *, O):
-    y0, y1, y2, y3 = _slices(y_ref[:], O)
+    # The winner index is carried in the DATA dtype (float values 0..3):
+    # Mosaic rejects mixing i1 masks from float compares (8/16-sublane
+    # tiling) with int8/int32 selects (32-sublane tiling) — an all-one-
+    # dtype kernel needs no relayout. 0..3 are exact in bf16.
+    y = y_ref[:]
+    dt = y.dtype
+    y0, y1, y2, y3 = _slices(y, O)
     m01 = jnp.maximum(y0, y1)
     m23 = jnp.maximum(y2, y3)
-    i01 = jnp.where(y0 >= y1, jnp.int8(0), jnp.int8(1))
-    i23 = jnp.where(y2 >= y3, jnp.int8(2), jnp.int8(3))
+    one, two, three = (jnp.asarray(v, dt) for v in (1, 2, 3))
+    i01 = jnp.where(y0 >= y1, jnp.zeros_like(y0), jnp.full_like(y0, one))
+    i23 = jnp.where(y2 >= y3, jnp.full_like(y2, two),
+                    jnp.full_like(y2, three))
     top = m01 >= m23
     m_ref[:] = jnp.where(top, m01, m23)
     i_ref[:] = jnp.where(top, i01, i23)
@@ -59,9 +67,10 @@ def _argmax_kernel(y_ref, m_ref, i_ref, *, O):
 def _select_kernel(t_ref, i_ref, o_ref, *, O):
     t0, t1, t2, t3 = _slices(t_ref[:], O)
     idx = i_ref[:]
+    k = lambda v: jnp.asarray(v, idx.dtype)
     o_ref[:] = jnp.where(
-        idx == 0, t0, jnp.where(idx == 1, t1,
-                                jnp.where(idx == 2, t2, t3)))
+        idx == k(0), t0, jnp.where(idx == k(1), t1,
+                                   jnp.where(idx == k(2), t2, t3)))
 
 
 def _scatter_kernel(ct_ref, i_ref, o_ref, *, O):
@@ -69,7 +78,8 @@ def _scatter_kernel(ct_ref, i_ref, o_ref, *, O):
     idx = i_ref[:]
     zero = jnp.zeros_like(ct)
     o_ref[:] = jnp.concatenate(
-        [jnp.where(idx == k, ct, zero) for k in range(4)], axis=-1)
+        [jnp.where(idx == jnp.asarray(k, idx.dtype), ct, zero)
+         for k in range(4)], axis=-1)
 
 
 def _row_call(kernel, n, in_arrs, in_lanes, out_shapes):
@@ -96,7 +106,7 @@ def _argmax_impl(y):
     O = four_o // 4
     return tuple(_row_call(
         functools.partial(_argmax_kernel, O=O), n, (y,), (four_o,),
-        [(O, y.dtype), (O, jnp.int8)]))
+        [(O, y.dtype), (O, y.dtype)]))
 
 
 def _select_impl(t, idx):
@@ -132,8 +142,7 @@ def phase_scatter(ct, idx):
 
 phase_argmax_p.def_abstract_eval(lambda y: (
     y.update(shape=(y.shape[0], y.shape[1] // 4), weak_type=False),
-    y.update(shape=(y.shape[0], y.shape[1] // 4), dtype=jnp.int8,
-             weak_type=False)))
+    y.update(shape=(y.shape[0], y.shape[1] // 4), weak_type=False)))
 phase_argmax_p.def_impl(_argmax_impl)
 mlir.register_lowering(phase_argmax_p,
                        mlir.lower_fun(_argmax_impl, multiple_results=True))
