@@ -36,7 +36,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_one(hvp_dtype: str, locate: bool, steps: int, small: bool):
+def run_one(hvp_dtype: str, locate: bool, steps: int, small: bool,
+            syn_steps_override: int = 0):
     os.environ["VD_HVP_DTYPE"] = hvp_dtype
     import jax
 
@@ -58,6 +59,8 @@ def run_one(hvp_dtype: str, locate: bool, steps: int, small: bool):
         C, frames, im, syn_steps = 4, 8, (64, 64), 2
     else:  # the failing flagship config (sweep_s2d_mtt grid, 1e-2 LRs)
         C, frames, im, syn_steps = 10, 16, (112, 112), 10
+    if syn_steps_override:
+        syn_steps = syn_steps_override
     s2d_cfg = S2DConfig(num_classes=C, spc=2, dpc=2, vpc=1, n_hal=1,
                         frames=frames, im_size=im)
     state = init_s2d_state(jax.random.PRNGKey(0), s2d_cfg)
@@ -115,14 +118,19 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="64^2x8 shapes (CPU-compilable smoke test; the "
                          "overflow only reproduces at flagship shapes)")
+    ap.add_argument("--syn_steps", type=int, default=0,
+                    help="override syn_steps (minimal-repro search; "
+                         "combine with VD_MTT_UNROLL=1 so --locate names "
+                         "the primitive instead of 'nan in scan')")
     args = ap.parse_args()
 
     if args.mode == "child":
         run_one(args.hvp_dtype, locate=False, steps=args.steps,
-                small=args.small)
+                small=args.small, syn_steps_override=args.syn_steps)
         return
     if args.mode == "locate":
-        run_one(args.hvp_dtype, locate=True, steps=1, small=args.small)
+        run_one(args.hvp_dtype, locate=True, steps=1, small=args.small,
+                syn_steps_override=args.syn_steps)
         return
     # A/B: fresh subprocess per dtype (env read at import, lru caches)
     for dt in ("float32", "bfloat16"):

@@ -244,9 +244,20 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
         else:
             raise ValueError(f"unknown second_order mode: {second_order}")
 
-        steps = jnp.arange(syn_steps)
-        theta_final, _ = jax.lax.scan(
-            inner, theta_start, (batches_x, batches_y, batches_w, steps))
+        if _os.environ.get("VD_MTT_UNROLL") == "1":
+            # Diagnostic-only Python unroll: jax_debug_nans cannot see
+            # inside a lax.scan body (it reports "nan in scan"); the
+            # unrolled graph lets it name the exact primitive. Slower to
+            # compile; never use for training.
+            theta = theta_start
+            for s in range(syn_steps):
+                theta, _ = inner(theta, (batches_x[s], batches_y[s],
+                                         batches_w[s], jnp.asarray(s)))
+            theta_final = theta
+        else:
+            steps = jnp.arange(syn_steps)
+            theta_final, _ = jax.lax.scan(
+                inner, theta_start, (batches_x, batches_y, batches_w, steps))
         param_loss = jnp.sum((theta_final - theta_target) ** 2)
         param_dist = jnp.sum((theta_start - theta_target) ** 2)
         return param_loss / param_dist, (param_loss, param_dist)

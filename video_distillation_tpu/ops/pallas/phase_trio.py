@@ -50,36 +50,40 @@ def _argmax_kernel(y_ref, m_ref, i_ref, *, O):
     # Mosaic rejects mixing i1 masks from float compares (8/16-sublane
     # tiling) with int8/int32 selects (32-sublane tiling) — an all-one-
     # dtype kernel needs no relayout. 0..3 are exact in bf16.
-    y = y_ref[:]
-    dt = y.dtype
+    #
+    # All compares/selects run in fp32 REGISTERS regardless of the data
+    # dtype: Mosaic rejects `cmpf` on the packed (8,128,2) bf16 vector
+    # layout ("Target does not support this comparison", v5e) — the
+    # in-register upcast keeps VMEM/HBM traffic in the data dtype while
+    # giving every compare the native fp32 (8,128) layout.
+    y = y_ref[:].astype(jnp.float32)
     y0, y1, y2, y3 = _slices(y, O)
     m01 = jnp.maximum(y0, y1)
     m23 = jnp.maximum(y2, y3)
-    one, two, three = (jnp.asarray(v, dt) for v in (1, 2, 3))
-    i01 = jnp.where(y0 >= y1, jnp.zeros_like(y0), jnp.full_like(y0, one))
-    i23 = jnp.where(y2 >= y3, jnp.full_like(y2, two),
-                    jnp.full_like(y2, three))
+    i01 = jnp.where(y0 >= y1, jnp.zeros_like(y0), jnp.full_like(y0, 1.0))
+    i23 = jnp.where(y2 >= y3, jnp.full_like(y2, 2.0),
+                    jnp.full_like(y2, 3.0))
     top = m01 >= m23
-    m_ref[:] = jnp.where(top, m01, m23)
-    i_ref[:] = jnp.where(top, i01, i23)
+    m_ref[:] = jnp.where(top, m01, m23).astype(m_ref.dtype)
+    i_ref[:] = jnp.where(top, i01, i23).astype(i_ref.dtype)
 
 
 def _select_kernel(t_ref, i_ref, o_ref, *, O):
-    t0, t1, t2, t3 = _slices(t_ref[:], O)
-    idx = i_ref[:]
-    k = lambda v: jnp.asarray(v, idx.dtype)
+    t0, t1, t2, t3 = _slices(t_ref[:].astype(jnp.float32), O)
+    idx = i_ref[:].astype(jnp.float32)
     o_ref[:] = jnp.where(
-        idx == k(0), t0, jnp.where(idx == k(1), t1,
-                                   jnp.where(idx == k(2), t2, t3)))
+        idx == 0.0, t0, jnp.where(idx == 1.0, t1,
+                                  jnp.where(idx == 2.0, t2, t3))
+    ).astype(o_ref.dtype)
 
 
 def _scatter_kernel(ct_ref, i_ref, o_ref, *, O):
-    ct = ct_ref[:]
-    idx = i_ref[:]
+    ct = ct_ref[:].astype(jnp.float32)
+    idx = i_ref[:].astype(jnp.float32)
     zero = jnp.zeros_like(ct)
     o_ref[:] = jnp.concatenate(
-        [jnp.where(idx == jnp.asarray(k, idx.dtype), ct, zero)
-         for k in range(4)], axis=-1)
+        [jnp.where(idx == float(k), ct, zero) for k in range(4)],
+        axis=-1).astype(o_ref.dtype)
 
 
 def _row_call(kernel, n, in_arrs, in_lanes, out_shapes):
