@@ -37,8 +37,10 @@ sys.path.insert(0, REPO)
 
 
 def run_one(hvp_dtype: str, locate: bool, steps: int, small: bool,
-            syn_steps_override: int = 0):
+            syn_steps_override: int = 0, stages: str = ""):
     os.environ["VD_HVP_DTYPE"] = hvp_dtype
+    if stages:
+        os.environ["VD_HVP_FP32_STAGES"] = stages
     import jax
 
     from video_distillation_tpu.parallel.mesh import ensure_platform_env
@@ -122,15 +124,19 @@ def main():
                     help="override syn_steps (minimal-repro search; "
                          "combine with VD_MTT_UNROLL=1 so --locate names "
                          "the primitive instead of 'nan in scan')")
+    ap.add_argument("--stages", default="",
+                    help="comma list of fp32-island stages for a bf16 "
+                         "HVP (s1,s2,s3,head) — VD_HVP_FP32_STAGES")
     args = ap.parse_args()
 
     if args.mode == "child":
         run_one(args.hvp_dtype, locate=False, steps=args.steps,
-                small=args.small, syn_steps_override=args.syn_steps)
+                small=args.small, syn_steps_override=args.syn_steps,
+                stages=args.stages)
         return
     if args.mode == "locate":
         run_one(args.hvp_dtype, locate=True, steps=1, small=args.small,
-                syn_steps_override=args.syn_steps)
+                syn_steps_override=args.syn_steps, stages=args.stages)
         return
     # A/B: fresh subprocess per dtype (env read at import, lru caches)
     for dt in ("float32", "bfloat16"):

@@ -254,3 +254,40 @@ def test_max_pool_pairmax_matches_reduce_window():
         b = nn.max_pool(x, win, strides=win, padding="VALID")
         assert a.shape == b.shape
         assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+
+def test_fp32_stage_islands():
+    """fp32_stages islands (the bf16-HVP overflow-localization knob,
+    mtt.py VD_HVP_FP32_STAGES) change only rounding: an empty context is
+    a graph no-op, an island keeps its stage fp32 and the next boundary
+    casts back to the compute dtype."""
+    import jax.numpy as jnp
+    from video_distillation_tpu.models import layers
+
+    model = ConvNet3D(num_classes=4, frames=8, im_size=(64, 64))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 64, 64, 3))
+    k = jax.random.PRNGKey(1)
+    params = model.init({"params": k, "dropout": k}, x,
+                        train=False)["params"]
+    pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    xb = x.astype(jnp.bfloat16)
+
+    base = model.apply({"params": pb}, xb, train=False)
+    with layers.fp32_stages(()):
+        empty = model.apply({"params": pb}, xb, train=False)
+    assert empty.dtype == base.dtype
+    assert float(jnp.max(jnp.abs((empty - base).astype(jnp.float32)))) == 0
+
+    with layers.fp32_stages(("s2",)):
+        isl = model.apply({"params": pb}, xb, train=False)
+    # s3 boundary casts back -> logits stay in the compute dtype
+    assert isl.dtype == base.dtype
+    # islands only change rounding, not math
+    diff = float(jnp.max(jnp.abs((isl.astype(jnp.float32)
+                                  - base.astype(jnp.float32)))))
+    assert diff < 0.05
+
+    with layers.fp32_stages(("head",)):
+        hd = model.apply({"params": pb}, xb, train=False)
+    # no later boundary: head island propagates fp32 to the logits
+    assert hd.dtype == jnp.float32

@@ -144,12 +144,13 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
     if _hvp_conv == "auto":
         _hvp_conv = "gemm" if jax.default_backend() == "cpu" else "native"
 
-    def ce_in(dt, conv=None):
+    def ce_in(dt, conv=None, fp32_stages=()):
         def ce(th, x, y, w, step_i, drop_key):
             # mixed precision: bf16 conv compute, fp32 master θ —
             # casting only x would promote convs back to fp32
             p = jax.tree.map(lambda a: a.astype(dt), unravel(th))
-            with _layers.conv_impl(conv or _layers.CONV_IMPL):
+            with _layers.conv_impl(conv or _layers.CONV_IMPL), \
+                    _layers.fp32_stages(fp32_stages):
                 logits = model_def.apply(
                     {"params": p}, x.astype(dt), train=True,
                     rngs={"dropout": jax.random.fold_in(drop_key, step_i)})
@@ -175,8 +176,14 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
     # overflow-bisection escape hatch (scripts/bisect_bf16_hvp.py).
     _hvp_dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         _os.environ.get("VD_HVP_DTYPE", "float32")]
+    # VD_HVP_FP32_STAGES="s1,s2,s3,head" (any subset): fp32 islands at
+    # ConvNet3D stage boundaries inside an otherwise-bf16 HVP — the
+    # overflow-localization knob that turns the blanket fp32 fallback
+    # into a per-stage one (scripts/bisect_bf16_hvp.py --stages).
+    _hvp_stages = tuple(s for s in _os.environ.get(
+        "VD_HVP_FP32_STAGES", "").split(",") if s)
     ce_hvp = ce_in(_hvp_dt if compute_dtype == "bfloat16" else jnp.float32,
-                   conv=_hvp_conv)
+                   conv=_hvp_conv, fp32_stages=_hvp_stages)
 
     def _float0(a):
         return np.zeros(a.shape, jax.dtypes.float0)

@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import (TemporalIm2ColConv, TorchConv, activation, avg_pool,
-                     flatten, max_pool, norm_layer)
+                     flatten, max_pool, norm_layer, stage_island)
 
 # perf escape hatch: the space-to-depth fused first stage trades 2.9x
 # conv1 FLOPs for layout sanity — a clear win for the bf16 second-order
@@ -70,7 +70,9 @@ class ConvNet3D(nn.Module):
     def __call__(self, x, train: bool = True, output: str = "logits"):
         # x: (B, F, H, W, C) — or s2d2-packed when packed_input is set
         act = activation(self.net_act)
+        base_dt = x.dtype  # fp32-island boundaries cast back to this
         for d in range(self.net_depth):
+            x = stage_island(x, f"s{d + 1}", base_dt)
             feats = 64 if d == 0 else self.net_width
             if d == 0 and self.packed_input:
                 assert self.supports_packed_input(
@@ -120,6 +122,7 @@ class ConvNet3D(nn.Module):
             return feat
 
         head_window = (2, 2, 2) if self.im_size[0] > 64 else (2, 1, 1)
+        x = stage_island(x, "head", base_dt)
         x = avg_pool(x, head_window, strides=(1, 1, 1))
         x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)
         x = TorchConv(features=self.num_classes, kernel_size=(1, 1, 1))(x)

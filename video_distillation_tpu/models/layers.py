@@ -114,6 +114,38 @@ def _use_gemm_conv() -> bool:
     return mode in ("gemm", "gemmsum")
 
 
+# Trace-time fp32 dtype islands for the bf16-HVP overflow bisection
+# (BASELINE.md "bf16-HVP cost A/B"): mtt.py wraps the second-order model
+# apply in fp32_stages((...)) and ConvNet3D casts activations to fp32 at
+# the named stage boundaries ("s1", "s2", "s3", "head") and back to the
+# compute dtype at the next unnamed one. Boundary casts island BOTH
+# directions: a cast's transpose is a cast, so cotangents entering the
+# islanded stage's backward are fp32 too. Empty (the default) is a no-op.
+_FP32_STAGES: list = []
+
+
+class fp32_stages:
+    """Context manager: cast the named ConvNet3D stages to fp32 while
+    tracing a region (overflow-localization islands)."""
+
+    def __init__(self, stages):
+        self.stages = tuple(stages)
+
+    def __enter__(self):
+        _FP32_STAGES.append(self.stages)
+
+    def __exit__(self, *exc):
+        _FP32_STAGES.pop()
+
+
+def stage_island(x, name: str, base_dtype):
+    """Cast x for stage ``name``: fp32 inside an active island, the
+    caller's compute dtype outside. Same-dtype casts are free."""
+    want = jnp.float32 if (_FP32_STAGES and name in _FP32_STAGES[-1]) \
+        else base_dtype
+    return x if x.dtype == want else x.astype(want)
+
+
 def _conv2d(x, w, window_strides, padding):
     """NHWC x HWIO -> NHWC conv with a backend-appropriate lowering."""
     if not _use_gemm_conv():
