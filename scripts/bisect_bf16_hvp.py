@@ -39,8 +39,9 @@ sys.path.insert(0, REPO)
 def run_one(hvp_dtype: str, locate: bool, steps: int, small: bool,
             syn_steps_override: int = 0, stages: str = ""):
     os.environ["VD_HVP_DTYPE"] = hvp_dtype
-    if stages:
-        os.environ["VD_HVP_FP32_STAGES"] = stages
+    # unconditional: an empty value must CLEAR any ambient island left
+    # in the shell from a prior experiment (ADVICE r4)
+    os.environ["VD_HVP_FP32_STAGES"] = stages
     import jax
 
     from video_distillation_tpu.parallel.mesh import ensure_platform_env
@@ -91,6 +92,8 @@ def run_one(hvp_dtype: str, locate: bool, steps: int, small: bool,
     mom_lr = jnp.zeros(())
     n_syn = C * s2d_cfg.vpc
 
+    print(f"[config] hvp_dtype={hvp_dtype} syn_steps={syn_steps} "
+          f"stages={stages!r} shapes={im}x{frames} C={C}", flush=True)
     times, finite = [], []
     for it in range(steps):
         plan = jnp.asarray(make_batch_plan(rng, n_syn, n_syn, syn_steps))
@@ -107,6 +110,7 @@ def run_one(hvp_dtype: str, locate: bool, steps: int, small: bool,
               f"dyn_finite={dyn_ok} lr_finite={lr_ok} "
               f"wall={times[-1]:.2f}s", flush=True)
     rec = {"hvp_dtype": hvp_dtype, "finite": finite,
+           "syn_steps": syn_steps, "stages": stages,
            "steady_wall_s": round(min(times[1:] or times), 3)}
     print("RESULT " + json.dumps(rec), flush=True)
 
@@ -141,7 +145,9 @@ def main():
     # A/B: fresh subprocess per dtype (env read at import, lru caches)
     for dt in ("float32", "bfloat16"):
         cmd = [sys.executable, os.path.abspath(__file__), "--mode",
-               "child", "--hvp_dtype", dt, "--steps", str(args.steps)]
+               "child", "--hvp_dtype", dt, "--steps", str(args.steps),
+               "--syn_steps", str(args.syn_steps),
+               "--stages", args.stages]
         if args.small:
             cmd.append("--small")
         print(f"=== VD_HVP_DTYPE={dt} ===", flush=True)

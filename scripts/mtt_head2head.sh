@@ -18,14 +18,17 @@ BUF=/tmp/parity_buf_fix
 OUT=/tmp/parity_mtt
 mkdir -p $OUT
 
+# --mtt_init noise: real init saturates the separable fixture at it=0
+# (no headroom to demonstrate learning); noise starts both sides at
+# chance so the table shows rising accuracy bands.
 echo "=== phase A: reference side (torch CPU, fixed buffer) ==="
 timeout 28800 python scripts/parity_head2head.py --cpu --mtt_only --mtt \
-    --side ref --mtt_lr_img 100 --buffer_dir $BUF \
+    --side ref --mtt_lr_img 100 --mtt_init noise --buffer_dir $BUF \
     --json $OUT/ref.json 2>&1 | tee $OUT/ref.log | grep -E "===|it=|acc|loss" | tail -40
 
 echo "=== phase B: rebuild side (TPU, shared buffer) ==="
 timeout 14400 python scripts/parity_head2head.py --mtt_only --mtt \
-    --side rebuild --mtt_lr_img 100 --buffer_dir $BUF \
+    --side rebuild --mtt_lr_img 100 --mtt_init noise --buffer_dir $BUF \
     --json $OUT/rebuild.json 2>&1 | tee $OUT/rebuild.log | grep -E "===|it=|acc|loss" | tail -40
 
 echo "=== head-to-head done; tables in $OUT/{ref,rebuild}.json ==="

@@ -99,6 +99,29 @@ def flat_param_template(model_name: str, channel: int, num_classes: int,
     return model_def, params, flat, unravel
 
 
+def resolve_hvp_config():
+    """Dtype + fp32-island stages for the second-order (HVP) pass, from
+    the env (read at step-build time; _build_* are lru-cached, so flip
+    these only in a fresh process — scripts/bisect_bf16_hvp.py).
+
+    VD_HVP_DTYPE ∈ {bfloat16 (default), float32}. VD_HVP_FP32_STAGES:
+    absent -> the validated default island ("head",); present (even
+    empty) -> exactly the named stages. Rationale: the fully-bf16 HVP
+    overflows at flagship shapes and the r5 bisection localized the
+    overflow to the ConvNet3D head stage — bf16 HVP + fp32 head island
+    is finite and recovers most of the blanket-fp32 ~23% tax
+    (BASELINE.md round-5 section).
+    """
+    dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        _os.environ.get("VD_HVP_DTYPE", "bfloat16")]
+    env_stages = _os.environ.get("VD_HVP_FP32_STAGES")
+    if env_stages is None:
+        stages = ("head",)
+    else:
+        stages = tuple(s for s in env_stages.split(",") if s)
+    return dt, stages
+
+
 @functools.lru_cache(maxsize=16)
 def _build_mtt_core(model_name: str, channel: int, num_classes: int,
                     im_size: Tuple[int, int], frames: int, syn_steps: int,
@@ -167,21 +190,14 @@ def _build_mtt_core(model_name: str, channel: int, num_classes: int,
     # costs ~20 s/step at test shapes while an isolated jax.grad of the
     # same ce runs 0.42 s).
     ce = ce_in(cdt, conv=_hvp_conv)
-    # The reverse-over-forward second-order pass runs in fp32 even under
-    # compute_dtype=bfloat16: at flagship shapes (112^2 x 16,
-    # syn_steps=10) the bf16 HVP produces inf/nan on the FIRST outer
-    # step regardless of cotangent scaling, while fp32 is clean
-    # (measured on a v5e; fwd + first-order grads stay bf16 — they are
-    # the validated round-2 configuration). VD_HVP_DTYPE=bfloat16 is the
-    # overflow-bisection escape hatch (scripts/bisect_bf16_hvp.py).
-    _hvp_dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-        _os.environ.get("VD_HVP_DTYPE", "float32")]
-    # VD_HVP_FP32_STAGES="s1,s2,s3,head" (any subset): fp32 islands at
-    # ConvNet3D stage boundaries inside an otherwise-bf16 HVP — the
-    # overflow-localization knob that turns the blanket fp32 fallback
-    # into a per-stage one (scripts/bisect_bf16_hvp.py --stages).
-    _hvp_stages = tuple(s for s in _os.environ.get(
-        "VD_HVP_FP32_STAGES", "").split(",") if s)
+    # The reverse-over-forward second-order pass: at flagship shapes
+    # (112^2 x 16, syn_steps=10) the fully-bf16 HVP produces inf/nan on
+    # the FIRST outer step regardless of cotangent scaling, while fp32
+    # is clean (r3 postmortem, BASELINE.md). The r5 bisection localized
+    # the overflow to the ConvNet3D "head" stage, so the default is now
+    # a bf16 HVP with an fp32 island at only that stage — see
+    # resolve_hvp_config() for the knobs/rationale.
+    _hvp_dt, _hvp_stages = resolve_hvp_config()
     ce_hvp = ce_in(_hvp_dt if compute_dtype == "bfloat16" else jnp.float32,
                    conv=_hvp_conv, fp32_stages=_hvp_stages)
 

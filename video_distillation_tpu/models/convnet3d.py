@@ -117,7 +117,10 @@ class ConvNet3D(nn.Module):
             elif self.net_pooling != "none":
                 raise ValueError(f"unknown net_pooling: {self.net_pooling}")
 
-        feat = flatten(x)
+        # island-boundary cast: with 's3' fp32-islanded, x is still fp32
+        # here — embed consumers (DM mean-matching) expect the compute
+        # dtype, so cast back before the feat return (ADVICE r4)
+        feat = flatten(x).astype(base_dt)
         if output == "feat":
             return feat
 

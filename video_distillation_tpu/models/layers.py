@@ -124,12 +124,20 @@ def _use_gemm_conv() -> bool:
 _FP32_STAGES: list = []
 
 
+KNOWN_STAGES = frozenset({"s1", "s2", "s3", "head"})
+
+
 class fp32_stages:
     """Context manager: cast the named ConvNet3D stages to fp32 while
     tracing a region (overflow-localization islands)."""
 
     def __init__(self, stages):
         self.stages = tuple(stages)
+        unknown = set(self.stages) - KNOWN_STAGES
+        if unknown:
+            raise ValueError(
+                f"unknown fp32 island stage(s) {sorted(unknown)}; "
+                f"known: {sorted(KNOWN_STAGES)}")
 
     def __enter__(self):
         _FP32_STAGES.append(self.stages)
