@@ -82,6 +82,44 @@ def run_steps(steps: int, logdir: str, syn_steps: int = 10):
     return dt
 
 
+def run_dm_steps(steps: int, logdir: str):
+    """DM outer step at the sh/baseline/DM.sh shape (VERDICT r4 ask #5):
+    the chunked class-group embed in dm.py — same harness as
+    bench.py:bench_dm, wrapped in a jax.profiler trace."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_distillation_tpu.data import make_synthetic_video_data
+    from video_distillation_tpu.distill.dm import (DMState,
+                                                   init_synthetic_raw,
+                                                   make_dm_trainer)
+
+    data = make_synthetic_video_data(num_classes=50, clips_per_class=8,
+                                     test_per_class=1, frames=16,
+                                     im_size=(112, 112), name="prof-dm")
+    rng = np.random.default_rng(0)
+    syn, labels = init_synthetic_raw(jax.random.PRNGKey(0), data.train,
+                                     1, 16, "real", rng)
+    state = DMState(syn, labels, jnp.zeros_like(syn))
+    trainer = make_dm_trainer(data.train, "ConvNet3D", 1, 64, 1.0, 16,
+                              "bfloat16")
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        state, loss = trainer(jax.random.fold_in(key, i), state, rng)
+        print(f"warmup {i}: loss={float(loss):.4f}")
+    t0 = time.perf_counter()
+    jax.profiler.start_trace(logdir)
+    for i in range(steps):
+        state, loss = trainer(jax.random.fold_in(key, 100 + i), state, rng)
+    final = float(loss)
+    jax.profiler.stop_trace()
+    dt = time.perf_counter() - t0
+    print(f"{steps} DM steps in {dt:.3f}s -> {steps / dt:.3f} steps/s "
+          f"(loss={final:.4f})")
+    return dt
+
+
 def parse_trace(logdir: str, steps: int, top: int = 40):
     paths = sorted(glob.glob(os.path.join(
         logdir, "**", "*.trace.json.gz"), recursive=True),
@@ -170,9 +208,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--syn_steps", type=int, default=10)
+    ap.add_argument("--graph", choices=("s2d_mtt", "dm"),
+                    default="s2d_mtt")
     ap.add_argument("--logdir", default="/tmp/prof")
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
     if not args.parse_only:
-        run_steps(args.steps, args.logdir, args.syn_steps)
-    parse_trace(args.logdir, args.steps)
+        if args.graph == "dm":
+            run_dm_steps(args.steps, args.logdir)
+        else:
+            run_steps(args.steps, args.logdir, args.syn_steps)
+    parse_trace(args.logdir, args.steps, args.top)
