@@ -493,6 +493,10 @@ def main():
                     help="synthetic init for the MTT leg — noise starts "
                          "both sides at chance so LEARNING is visible "
                          "(real init saturates the separable fixture)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="run-RNG seed (batch plans, segment sampling, "
+                         "eval nets); the FIXTURE stays seed-fixed so "
+                         "multi-seed runs stay comparable")
     ap.add_argument("--mtt_iters", type=int, default=None)
     ap.add_argument("--mtt_eval_it", type=int, default=None)
     ap.add_argument("--mtt_num_eval", type=int, default=None)
@@ -539,7 +543,7 @@ def main():
     if args.quick:
         hp = dict(ipc=1, num_eval=2, eval_it=10, epoch_eval_train=10,
                   Iteration=20, lr_net=0.01, lr_img=1.0, batch_real=4,
-                  batch_train=64, seed=0)
+                  batch_train=64, seed=args.seed)
         data = make_synthetic_video_data(num_classes=3, clips_per_class=6,
                                          test_per_class=3, frames=8,
                                          im_size=(64, 64),
@@ -547,7 +551,7 @@ def main():
     else:
         hp = dict(ipc=1, num_eval=3, eval_it=50, epoch_eval_train=50,
                   Iteration=150, lr_net=0.01, lr_img=1.0, batch_real=8,
-                  batch_train=64, seed=0)
+                  batch_train=64, seed=args.seed)
         # class_sep/noise tuned so accuracies sit mid-range: saturated
         # 1.0 bands on both sides would compare nothing
         sep = 0.22 if args.sep is None else args.sep
