@@ -25,6 +25,7 @@ COMBOS = [
     ("pack+phase", {"VD_PACK_KERNEL": "pallas",
                     "VD_PHASE_KERNEL": "pallas"}),
     ("wide_s2d", {"VD_WIDE_CONV": "s2d"}),
+    ("phase_dgrad", {"VD_WIDE_DGRAD": "phase"}),
     ("all", {"VD_PACK_KERNEL": "pallas", "VD_PHASE_KERNEL": "pallas",
              "VD_WIDE_CONV": "s2d"}),
 ]

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
+from jax.interpreters import ad, batching, mlir
 
 
 def torch_kaiming_uniform(dtype=jnp.float32):
@@ -232,6 +233,139 @@ def _s2d_wide_kernel(w, dtype):
                                                   O).astype(dtype)
 
 
+# ---------------------------------------------------------------------------
+# Phase-decomposed x-cotangent for the wide-layer stride-2 7x7 conv.
+#
+# The r5 full-graph trace (BASELINE.md round-5) shows the conv2-family
+# DGRAD (k=7x7 s=2, (800,28,28,64)<-(800,14,14,128), parity:
+# /root/reference/networks.py:799) at ~149 ms/step = ~50 TF/s = peak/4 —
+# the signature of XLA zero-stuffing the lhs_dilation=2 transposed conv
+# (4x MACs on zeros) — while fwd (~128 TF/s) and wgrad (~112 TF/s) of the
+# SAME family are healthy. ``conv7s2`` is a bilinear primitive whose
+# forward/wgrad stay on the native emitters and ONLY the x-cotangent is
+# rerouted through an exact 4-parity decomposition: one stride-1 4x4
+# VALID conv over the (1,2)-padded cotangent with a (4,4,O,4C)
+# zero-slotted kernel, then a 2x2 depth-to-space (1.31x tap inflation,
+# zero wasted MACs; numerically verified vs jax.linear_transpose in
+# scripts/probe_conv2_dgrad.py and tests/test_conv_phase_dgrad.py).
+# Unlike the r4 wide_s2d dead end (which rewrote the FORWARD into s2d
+# form and lost on pack/unpack data movement), the forward here is
+# byte-identical to the native path.
+# ---------------------------------------------------------------------------
+
+# Toggle: "phase" = reroute the x-cotangent, "native" = today's XLA dgrad.
+WIDE_DGRAD_MODE = _os.environ.get("VD_WIDE_DGRAD", "native")
+
+# Tap map: input-row parity a with window tap m reads fwd tap
+# u = a + 5 - 2m, or the zero slot 7 when out of [0, 7).
+_UP = np.full((4, 2), 7, np.int32)  # [m, a]
+for _m in range(4):
+    for _a in range(2):
+        if 0 <= _a + 5 - 2 * _m <= 6:
+            _UP[_m, _a] = _a + 5 - 2 * _m
+
+
+def _phase_dgrad_kernel(w):
+    """(7,7,C,O) stride-2 kernel -> (4,4,O,4C) stride-1 dgrad kernel:
+    K[m,n,o,(a*2+b)*C+c] = w[a+5-2m, b+5-2n, c, o] (zero out of range)."""
+    C, O = w.shape[2], w.shape[3]
+    w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    wg = w8[_UP[:, :, None, None], _UP[None, None, :, :]]  # (m,a,n,b,C,O)
+    return wg.transpose(0, 2, 5, 1, 3, 4).reshape(4, 4, O, 4 * C)
+
+
+def _phase_dgrad_apply(cot, kphase, C):
+    """cot (B,Ho,Wo,O) -> x_bar (B,2Ho,2Wo,C) via ONE stride-1 conv +
+    2x2 depth-to-space."""
+    B, Ho, Wo, _ = cot.shape
+    cp = jnp.pad(cot, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    y = _conv2d(cp, kphase, (1, 1), "VALID")  # (B, Ho, Wo, 4C)
+    y = y.reshape(B, Ho, Wo, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, 2 * Ho, 2 * Wo, C)
+
+
+conv7s2_p = jax.extend.core.Primitive("conv7s2")
+
+
+def conv7s2(x, w):
+    """y = conv(x, w; k=7x7, s=2, p=3), bilinear primitive with the
+    phase-decomposed x-transpose. Requires even H, W and x.dtype ==
+    w.dtype."""
+    assert x.dtype == w.dtype, (x.dtype, w.dtype)
+    return conv7s2_p.bind(x, w)
+
+
+def _conv7s2_impl(x, w):
+    return _conv2d(x, w, (2, 2), ((3, 3), (3, 3)))
+
+
+def _conv7s2_abstract(x, w):
+    N, H, W, C = x.shape
+    assert w.shape[:2] == (7, 7) and w.shape[2] == C, (x.shape, w.shape)
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    return x.update(shape=(N, H // 2, W // 2, w.shape[3]),
+                    weak_type=False)
+
+
+conv7s2_p.def_abstract_eval(_conv7s2_abstract)
+conv7s2_p.def_impl(_conv7s2_impl)
+mlir.register_lowering(conv7s2_p, mlir.lower_fun(_conv7s2_impl,
+                                                 multiple_results=False))
+
+ad.defjvp(conv7s2_p,
+          lambda dx, x, w: conv7s2(dx, w),
+          lambda dw, x, w: conv7s2(x, dw))
+
+
+def _conv7s2_transpose(ct, x, w):
+    if ad.is_undefined_primal(x):
+        assert not ad.is_undefined_primal(w), \
+            "conv7s2 transpose: w must be known for the x-cotangent"
+        C = x.aval.shape[3]
+        kp = _phase_dgrad_kernel(w).astype(ct.dtype)
+        return _phase_dgrad_apply(ct, kp, C), None
+    assert not ad.is_undefined_primal(x)
+    wbar = jax.linear_transpose(
+        lambda ww: _conv2d(x, ww, (2, 2), ((3, 3), (3, 3))),
+        jax.ShapeDtypeStruct(w.aval.shape, w.aval.dtype))(ct)[0]
+    return None, wbar
+
+
+ad.primitive_transposes[conv7s2_p] = _conv7s2_transpose
+
+
+def _conv7s2_batching(args, dims):
+    x, w = args
+    xd, wd = dims
+    if wd is batching.not_mapped:
+        x = jnp.moveaxis(x, xd, 0)
+        V, N = x.shape[0], x.shape[1]
+        out = conv7s2(x.reshape((V * N,) + x.shape[2:]), w)
+        return out.reshape((V, N) + out.shape[1:]), 0
+    # Mapped weights (the num_eval-vmapped eval scan): no per-net phase
+    # form — defer to XLA's own grouped-conv batching of the native conv,
+    # exactly today's eval behavior.
+    w = jnp.moveaxis(w, wd, 0)
+    if xd is batching.not_mapped:
+        x = jnp.broadcast_to(x[None], (w.shape[0],) + x.shape)
+    else:
+        x = jnp.moveaxis(x, xd, 0)
+    return jax.vmap(_conv7s2_impl)(x, w), 0
+
+
+batching.primitive_batchers[conv7s2_p] = _conv7s2_batching
+
+
+def _wide_conv_s2(xf, w):
+    """Wide-layer stride-2 7x7 pad-3 conv; reroutes the x-cotangent
+    through the 4-parity phase decomposition when VD_WIDE_DGRAD=phase."""
+    w = w.astype(xf.dtype)
+    if (WIDE_DGRAD_MODE == "phase" and w.shape[:2] == (7, 7)
+            and xf.shape[1] % 2 == 0 and xf.shape[2] % 2 == 0):
+        return conv7s2(xf, w)
+    return _conv2d(xf, w, (2, 2), ((3, 3), (3, 3)))
+
+
 class TorchConv(nn.Module):
     """nn.Conv with torch-default init (weight AND bias from fan_in bound)."""
 
@@ -364,8 +498,7 @@ class TemporalIm2ColConv(nn.Module):
             else:
                 cs = []
                 for dt in range(3):
-                    ci = _conv2d(xf, kernel[dt].astype(xf.dtype), (2, 2),
-                                 ((3, 3), (3, 3)))
+                    ci = _wide_conv_s2(xf, kernel[dt])
                     cs.append(ci.reshape(B, F, ci.shape[1], ci.shape[2],
                                          self.features))
             # y_t = w0*x_{t-1} + w1*x_t + w2*x_{t+1} (zero beyond ends)
