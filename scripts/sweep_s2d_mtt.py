@@ -110,9 +110,16 @@ def run_config(data, buffers, static, hp, iters, eval_every, num_eval,
     curve = {}
     for it in range(iters + 1):
         if it % eval_every == 0:
+            # the reference evaluates at the CURRENT learned syn_lr
+            # (distill_s2d_ms.py:153 args.lr_net = syn_lr.detach());
+            # lr_net is a traced arg so this never recompiles. The r5
+            # first sweep attempt pinned lr_net=0.01 while syn_lr drifted
+            # to ~1e-3 — every config evaluated flat at chance
+            # (sweep_r5_uncoupled_eval.jsonl).
+            ecfg_it = dataclasses.replace(ecfg, lr_net=float(syn_lr))
             _, mean_acc, std_acc = evaluate_many(
                 jax.random.fold_in(key, 10_000_000 + it), num_eval, None,
-                None, data, ecfg, test_rng, s2d_cfg=s2d_cfg,
+                None, data, ecfg_it, test_rng, s2d_cfg=s2d_cfg,
                 s2d_state=state)
             curve[it] = (round(mean_acc, 4), round(std_acc, 4))
             print(f"  it={it} acc={mean_acc:.4f}+-{std_acc:.4f} "
