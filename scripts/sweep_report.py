@@ -39,6 +39,8 @@ def main(path: str) -> None:
         alast = r["curve"].get(str(points[-1]))
         mono = ("**yes**" if a400 and alast and alast[0] >= a400[0]
                 else "no")
+        if r.get("diverged_at") is not None:
+            mono = f"diverged@{r['diverged_at']}"
         print(f"| {fmt_hp(r['hp'])} | " + " | ".join(cells) +
               f" | {mono} | {r['wall_sec']:.0f}s |")
 

@@ -50,15 +50,28 @@ def build_fixture(num_classes=10, frames=16, im=(112, 112),
                         train_epochs=expert_epochs_total,
                         batch_train=64, frames=frames,
                         compute_dtype="bfloat16")
-    np_rng = np.random.default_rng(seed)
-    trajs = []
-    for e in range(n_experts):
-        traj, acc = train_expert(
-            jax.random.fold_in(jax.random.PRNGKey(seed), e), data.train,
-            bcfg, np_rng)
-        trajs.append(traj)
-        print(f"expert {e}: final train acc {acc:.3f}")
-    buffers = [TrajectoryBuffer(np.stack(trajs))]
+    # expert training is ~6 min of TPU; cache trajectories across
+    # relaunches of the same fixture config (data itself is regenerated
+    # deterministically from the seed above)
+    cache = (f"/tmp/sweep_fixture_c{num_classes}_f{frames}_i{im[0]}"
+             f"_cpc{clips_per_class}_e{expert_epochs_total}"
+             f"_n{n_experts}_s{seed}.npz")
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            trajs = z["trajs"]
+        print(f"loaded cached expert trajectories from {cache}")
+    else:
+        np_rng = np.random.default_rng(seed)
+        out = []
+        for e in range(n_experts):
+            traj, acc = train_expert(
+                jax.random.fold_in(jax.random.PRNGKey(seed), e), data.train,
+                bcfg, np_rng)
+            out.append(traj)
+            print(f"expert {e}: final train acc {acc:.3f}")
+        trajs = np.stack(out)
+        np.savez_compressed(cache, trajs=trajs)
+    buffers = [TrajectoryBuffer(trajs)]
 
     # pretrained static memory: spc random real frames per class,
     # normalized — the toy stand-in for the reference's --path_static
@@ -134,8 +147,14 @@ def run_config(data, buffers, static, hp, iters, eval_every, num_eval,
                       mom_lr, jnp.asarray(th0), jnp.asarray(th1), plan)
         state, syn_lr, moms, mom_lr = out[:4]
         if it % 200 == 0:
-            print(f"  it={it} grand_loss={float(out[4]):.4f}")
-    return curve
+            gl = float(out[4])
+            print(f"  it={it} grand_loss={gl:.4f}")
+            if not np.isfinite(gl):
+                # LR divergence (documented 1e-2 behaviour): the rest of
+                # the config would coast through nan — record and move on
+                print("  non-finite grand loss: aborting config")
+                return curve, it
+    return curve, None
 
 
 def main():
@@ -157,25 +176,33 @@ def main():
         args.iters, args.eval_every = 20, 10
     else:
         data, buffers, static = build_fixture()
+        # epoch_eval_train=500 matches the reference preset
+        # (sh/s2d/s2d_MTT_ms.sh:15); at n_syn=10 that is 500 batch-10
+        # steps — 150 under-trains the eval net at the coupled
+        # (learned, ~1e-3) eval LR. The 1e-2/1e-2 round-2 setting is
+        # dropped: it diverged to nan by it=200 in both r5 attempts
+        # (sweep_r5_uncoupled_eval.jsonl + sweep_r5b.log) — the
+        # documented LR sensitivity.
         base = dict(lr_lr=1e-5, lr_teacher=0.01, syn_steps=10,
                     expert_epochs=1, max_start_epoch=10,
-                    epoch_eval_train=150)
+                    epoch_eval_train=500)
         grid = [
-            dict(base, lr_dynamic=1e-2, lr_hal=1e-2),   # round-2 setting
             dict(base, lr_dynamic=1e-3, lr_hal=1e-3),
             dict(base, lr_dynamic=1e-3, lr_hal=1e-4),
             dict(base, lr_dynamic=1e-4, lr_hal=1e-4),
             dict(base, lr_dynamic=1e-2, lr_hal=1e-3, lr_lr=1e-7),
-            dict(base, lr_dynamic=1e-3, lr_hal=1e-3, epoch_eval_train=300),
+            dict(base, lr_dynamic=1e-3, lr_hal=1e-3, epoch_eval_train=150),
         ]
 
     with open(args.out, "a") as f:
         for hp in grid:
             print("=== config:", hp)
             t0 = time.time()
-            curve = run_config(data, buffers, static, hp, args.iters,
-                               args.eval_every, args.num_eval)
+            curve, diverged_at = run_config(data, buffers, static, hp,
+                                            args.iters, args.eval_every,
+                                            args.num_eval)
             rec = {"hp": hp, "curve": curve,
+                   "diverged_at": diverged_at,
                    "wall_sec": round(time.time() - t0, 1)}
             f.write(json.dumps(rec) + "\n")
             f.flush()
