@@ -33,7 +33,12 @@ def main(path: str) -> None:
         cells = []
         for p in points:
             v = r["curve"].get(str(p))
-            cells.append(f"{v[0]:.3f}±{v[1]:.3f}" if v else "—")
+            if not v:
+                cells.append("—")
+            elif len(v) > 2:  # newer runs also record the learned syn_lr
+                cells.append(f"{v[0]:.3f}±{v[1]:.3f} @{v[2]:.4f}")
+            else:
+                cells.append(f"{v[0]:.3f}±{v[1]:.3f}")
         # the ask: accuracy at the last point >= accuracy at it=400
         a400 = r["curve"].get("400")
         alast = r["curve"].get(str(points[-1]))

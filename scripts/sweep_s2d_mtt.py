@@ -18,6 +18,7 @@ import argparse
 import dataclasses
 import json
 import os
+import resource
 import sys
 import time
 
@@ -134,7 +135,11 @@ def run_config(data, buffers, static, hp, iters, eval_every, num_eval,
                 jax.random.fold_in(key, 10_000_000 + it), num_eval, None,
                 None, data, ecfg_it, test_rng, s2d_cfg=s2d_cfg,
                 s2d_state=state)
-            curve[it] = (round(mean_acc, 4), round(std_acc, 4))
+            # record the learned syn_lr too: acc tracks it inversely
+            # (the eval is coupled to it, like the reference), so the
+            # curve is uninterpretable without it
+            curve[it] = (round(mean_acc, 4), round(std_acc, 4),
+                         round(float(syn_lr), 6))
             print(f"  it={it} acc={mean_acc:.4f}+-{std_acc:.4f} "
                   f"syn_lr={float(syn_lr):.4f}")
         if it == iters:
@@ -148,11 +153,19 @@ def run_config(data, buffers, static, hp, iters, eval_every, num_eval,
         state, syn_lr, moms, mom_lr = out[:4]
         if it % 200 == 0:
             gl = float(out[4])
-            print(f"  it={it} grand_loss={gl:.4f}")
+            rss_gb = resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss / 1e6
+            print(f"  it={it} grand_loss={gl:.4f} rss={rss_gb:.1f}GB")
             if not np.isfinite(gl):
                 # LR divergence (documented 1e-2 behaviour): the rest of
                 # the config would coast through nan — record and move on
                 print("  non-finite grand loss: aborting config")
+                return curve, it
+            if rss_gb > 90.0:
+                # per-dispatch host leak under the axon relay client
+                # (the r5 full run was OOM-killed at 130 GB): bail with
+                # the partial curve instead of losing the process
+                print("  rss watchdog: aborting config before host OOM")
                 return curve, it
     return curve, None
 
@@ -163,6 +176,12 @@ def main():
     ap.add_argument("--eval_every", type=int, default=200)
     ap.add_argument("--num_eval", type=int, default=2)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", type=int, default=-1,
+                    help="run a single grid config by index. The r5 full "
+                         "run was OOM-killed at 130 GB host RSS after "
+                         "~4200 outer dispatches (per-dispatch host leak "
+                         "under the axon relay client) — drive one config "
+                         "per process so the leak is bounded per run.")
     ap.add_argument("--out", default="/tmp/sweep_s2d_mtt.jsonl")
     args = ap.parse_args()
 
@@ -193,6 +212,9 @@ def main():
             dict(base, lr_dynamic=1e-2, lr_hal=1e-3, lr_lr=1e-7),
             dict(base, lr_dynamic=1e-3, lr_hal=1e-3, epoch_eval_train=150),
         ]
+
+    if args.only >= 0:
+        grid = [grid[args.only]]
 
     with open(args.out, "a") as f:
         for hp in grid:
