@@ -147,3 +147,24 @@ def test_mtt_second_order_rof_matches_remat():
     assert abs(v_r - v_m) < 1e-6
     assert np.linalg.norm(gx_r - gx_m) / np.linalg.norm(gx_m) < 1e-5
     assert abs(glr_r - glr_m) / abs(glr_m) < 1e-5
+
+
+def test_standardize_bf16_matches_fp32():
+    """DM bf16 standardization (r5): the all-bf16 chain must agree with
+    the fp32-standardize-then-cast chain to within one bf16 ulp of the
+    subtract (u8 values are exact in bf16; the divide becomes a
+    reciprocal multiply)."""
+    from video_distillation_tpu.distill.dm import _standardize
+
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.integers(0, 256, (4, 2, 8, 8, 3), dtype=np.uint8))
+    mean = jnp.asarray([0.43, 0.42, 0.39], jnp.float32) * 255.0
+    std = jnp.asarray([0.15, 0.15, 0.15], jnp.float32) * 255.0
+
+    ref = np.asarray(_standardize(r, mean, std, jnp.float32),
+                     dtype=np.float32)
+    out = np.asarray(_standardize(r, mean, std, jnp.bfloat16).astype(
+        jnp.float32))
+    assert out.dtype == np.float32
+    # values span ~[-3, 4]; one bf16 ulp at that scale is ~0.03
+    assert np.max(np.abs(out - ref)) < 0.06

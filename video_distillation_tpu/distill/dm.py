@@ -53,6 +53,22 @@ def init_synthetic_raw(key, store: ClipStore, ipc: int, frames: int,
     return syn, jnp.asarray(labels)
 
 
+def _standardize(r_u8, norm_mean, norm_std, cdt):
+    """uint8 clips -> standardized compute-dtype clips.
+
+    Under bf16 compute the whole chain runs in bf16: u8 values 0-255 are
+    exactly representable (8 mantissa bits) and the model input is cast
+    to bf16 immediately afterwards anyway, so the only numerical delta
+    vs the fp32 chain is one extra rounding in the subtract — while the
+    fp32 intermediates cost ~90 ms/step of convert/copy bandwidth on the
+    640-clip DM real-embed chunks (profile_step.py --graph dm, r5).
+    """
+    if cdt == jnp.bfloat16:
+        inv = (1.0 / norm_std).astype(cdt)
+        return (r_u8.astype(cdt) - norm_mean.astype(cdt)) * inv
+    return ((r_u8.astype(jnp.float32) - norm_mean) / norm_std).astype(cdt)
+
+
 @functools.lru_cache(maxsize=16)
 def _build_dm_step(model_name: str, channel: int, num_classes: int,
                    im_size: Tuple[int, int], frames: int, ipc: int,
@@ -98,8 +114,8 @@ def _build_dm_step(model_name: str, channel: int, num_classes: int,
 
         def embed_chunk(_, idx_row):
             r = clips_u8[idx_row].reshape((-1,) + item_shape)
-            r = (r.astype(jnp.float32) - norm_mean) / norm_std
-            f = model_def.apply({"params": params}, r.astype(cdt),
+            r = _standardize(r, norm_mean, norm_std, cdt)
+            f = model_def.apply({"params": params}, r,
                                 train=True, output="feat")
             return None, f.astype(jnp.float32)
 
@@ -187,8 +203,8 @@ def _build_s2d_dm_step(model_name: str, channel: int, num_classes: int,
 
         real = clips_u8[real_idx.reshape(-1)].reshape(
             (-1, frames) + im_size + (channel,))
-        real = (real.astype(jnp.float32) - norm_mean) / norm_std
-        feat_real = model_def.apply({"params": params}, real.astype(cdt),
+        real = _standardize(real, norm_mean, norm_std, cdt)
+        feat_real = model_def.apply({"params": params}, real,
                                     train=True, output="feat")
         feat_real = feat_real.astype(jnp.float32).reshape(
             num_classes, batch_real, -1)
