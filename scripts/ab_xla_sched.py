@@ -37,7 +37,12 @@ COMBOS = [
     # where-chain loop fusions + remat prologues here are VMEM-hungry.
     ("vmem32", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
     ("vmem64", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
-    # global exec-time effort knob (XLA's own "try harder" dial).
+    ("vmem128", {"xla_tpu_scoped_vmem_limit_kib": "131072"}),
+    ("lhs+vmem64", {"xla_tpu_enable_latency_hiding_scheduler": "true",
+                    "xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    # global exec-time effort knob (XLA's own "try harder" dial) —
+    # measured: this libtpu's option parser predates the flag
+    # ("No such compile option"), kept for newer toolchains.
     ("effort", {"xla_exec_time_optimization_effort": "1.0"}),
 ]
 

@@ -29,6 +29,7 @@ from ..config import BufferConfig
 from ..data.store import ClipStore, VideoData
 from ..models.registry import create_model
 from ..parallel import mesh_size, pad_and_shard_plan, replicate_array
+from ..utils.xla_opts import tpu_compiler_options
 from .mtt import TrajectoryBuffer
 
 
@@ -102,7 +103,8 @@ def _build_epoch_fn(model_name: str, channel: int, num_classes: int,
         acc = jnp.sum(corrects) / jnp.sum(counts)
         return params, mom, jnp.mean(losses), acc
 
-    return jax.jit(epoch, donate_argnums=(0, 1))
+    return jax.jit(epoch, donate_argnums=(0, 1),
+                   compiler_options=tpu_compiler_options())
 
 
 def train_expert(key, store: ClipStore, cfg: BufferConfig,

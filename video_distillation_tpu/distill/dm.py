@@ -30,6 +30,7 @@ import numpy as np
 from ..data.store import ClipStore
 from ..models.registry import create_model
 from ..parallel import replicate_array, shard_divisible
+from ..utils.xla_opts import tpu_compiler_options
 from .s2d import S2DConfig, distill_slots, hallucinate
 
 
@@ -135,7 +136,8 @@ def _build_dm_step(model_name: str, channel: int, num_classes: int,
         syn_images = syn_images - lr_img * mom
         return syn_images, mom, loss
 
-    return jax.jit(step, donate_argnums=(1, 2))
+    return jax.jit(step, donate_argnums=(1, 2),
+                   compiler_options=tpu_compiler_options())
 
 
 @dataclasses.dataclass
@@ -251,7 +253,8 @@ def _build_s2d_dm_step(model_name: str, channel: int, num_classes: int,
             new_moms[name] = m
         return new_state, new_moms, loss
 
-    return jax.jit(step, donate_argnums=(1, 2))
+    return jax.jit(step, donate_argnums=(1, 2),
+                   compiler_options=tpu_compiler_options())
 
 
 def make_s2d_dm_trainer(store: ClipStore, model_name: str,

@@ -38,6 +38,7 @@ from ..data.store import VideoData
 from ..models import layers as _layers
 from ..models.registry import create_model, is_video_model
 from ..ops.metrics import per_class_correct
+from ..utils.xla_opts import tpu_compiler_options
 from .s2d import S2DConfig, hallucinate
 
 
@@ -343,7 +344,7 @@ def _build_train_fn_cached(model_name: str, channel: int, num_classes: int,
         acc_train = jnp.sum(corrects[-nb:]) / jnp.sum(counts[-nb:])
         return params, acc_train, losses[-1]
 
-    return jax.jit(run), model_def
+    return jax.jit(run, compiler_options=tpu_compiler_options()), model_def
 
 
 @functools.lru_cache(maxsize=32)
@@ -378,7 +379,7 @@ def _build_test_fn(model_name: str, channel: int, num_classes: int,
         return (t1.sum(), t3.sum(), t5.sum(), n.sum(),
                 pc_corr.sum(0), pc_cnt.sum(0))
 
-    return jax.jit(run), model_def
+    return jax.jit(run, compiler_options=tpu_compiler_options()), model_def
 
 
 def _stack_test_batches(clips: np.ndarray, labels: np.ndarray,

@@ -38,6 +38,7 @@ from ..models import layers as _layers
 from ..models.convnet3d import ConvNet3D
 from ..models.layers import s2d2_pack
 from ..models.registry import create_model
+from ..utils.xla_opts import tpu_compiler_options
 from .s2d import S2DConfig, hallucinate
 
 PACK_AT_STAGING = False  # measured net-loss on v5e; see layers.s2d2_pack
@@ -326,7 +327,8 @@ def _build_mtt_step(model_name: str, channel: int, num_classes: int,
             syn_lr = jnp.maximum(syn_lr - lr_lr * mom_lr, 0.001)
         return syn_images, syn_lr, mom_img, mom_lr, loss, ploss, pdist
 
-    return jax.jit(step, donate_argnums=(1, 3, 4, 5))
+    return jax.jit(step, donate_argnums=(1, 3, 4, 5),
+                   compiler_options=tpu_compiler_options())
 
 
 @functools.lru_cache(maxsize=16)
@@ -407,7 +409,8 @@ def _build_s2d_mtt_step(model_name: str, channel: int, num_classes: int,
             syn_lr = jnp.maximum(syn_lr - lr_lr * mom_lr, 0.001)
         return new_state, syn_lr, new_moms, mom_lr, loss, ploss, pdist
 
-    return jax.jit(step, donate_argnums=(1, 2, 3, 4))
+    return jax.jit(step, donate_argnums=(1, 2, 3, 4),
+                   compiler_options=tpu_compiler_options())
 
 
 @dataclasses.dataclass
